@@ -1,0 +1,194 @@
+"""Command-line interface.
+
+Usage parity with the reference (README.md:14-21, d2q9-bgk.c:133-142):
+
+    python -m lbm_tpu <paramfile> <obstaclefile> [options]
+
+and the same visible contract: writes ``final_state.dat`` and ``av_vels.dat``
+(d2q9-bgk.c:16-17) in the output directory and prints the reference's exact
+stdout block (d2q9-bgk.c:283-287):
+
+    ==done==
+    Reynolds number:\t\t%.12E
+    Elapsed time:\t\t\t%.6f (s)
+    Elapsed user CPU time:\t\t%.6f (s)
+    Elapsed system CPU time:\t%.6f (s)
+
+Extra (optional, off by default) flags expose the TPU-native surface:
+``--backend``, ``--precision``, ``--mesh``, ``--out-dir``, checkpointing, and
+profiling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lbm_tpu",
+        description="TPU-native D2Q9 BGK lattice-Boltzmann solver",
+    )
+    p.add_argument("paramfile", help="7-field params file (nx ny maxIters reynolds_dim density accel omega)")
+    p.add_argument("obstaclefile", help="obstacle list file ('x y 1' per line)")
+    p.add_argument(
+        "--backend",
+        choices=["auto", "pallas", "reference"],
+        default="auto",
+        help="step implementation: fused Pallas TPU kernel, jnp reference, or auto",
+    )
+    p.add_argument(
+        "--precision",
+        choices=["f32", "f64"],
+        default="f32",
+        help="state dtype (f64 requires jax_enable_x64 and is slow on TPU)",
+    )
+    p.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shard the lattice over N devices (0 = single device)",
+    )
+    p.add_argument("--out-dir", default=".", help="directory for output .dat files")
+    p.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        metavar="K",
+        help="snapshot resumable state every K steps",
+    )
+    p.add_argument(
+        "--checkpoint-path",
+        default=None,
+        help="checkpoint file path (default: <out-dir>/checkpoint.npz when enabled)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from --checkpoint-path if it exists",
+    )
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace (view with TensorBoard)",
+    )
+    p.add_argument(
+        "--verbose", "-v", action="store_true", help="log configuration and timings"
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.precision == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    # Import after the x64 flag is set.
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.io import read_obstacles, read_params, write_av_vels, write_final_state
+    from lbm_tpu.runtime.driver import run_simulation
+
+    # Clean fatal diagnostics for bad inputs (the reference's die(),
+    # d2q9-bgk.c:933-939) rather than tracebacks.
+    from lbm_tpu.io.files import InputError
+
+    try:
+        params = read_params(args.paramfile)
+        obstacles = read_obstacles(args.obstaclefile, params)
+    except (InputError, OSError) as e:
+        print(f"lbm_tpu: error: {e}", file=sys.stderr)
+        return 1
+    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+
+    if args.verbose:
+        dev = jax.devices()[0]
+        print(
+            f"[lbm_tpu] grid {params.nx}x{params.ny}, {params.max_iters} iters, "
+            f"backend={args.backend}, precision={args.precision}, "
+            f"device={dev.device_kind} ({dev.platform})",
+            file=sys.stderr,
+        )
+
+    checkpoint_path = args.checkpoint_path
+    if checkpoint_path is None and (args.checkpoint_every or args.resume):
+        checkpoint_path = os.path.join(args.out_dir, "checkpoint.npz")
+
+    initial_cells = None
+    start_step = 0
+    av_prefix = None
+    if args.resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from lbm_tpu.runtime.checkpoint import load_checkpoint
+
+        initial_cells, av_prefix, start_step = load_checkpoint(checkpoint_path, params)
+        if args.verbose:
+            print(f"[lbm_tpu] resuming from step {start_step}", file=sys.stderr)
+
+    profiling = args.profile_dir is not None
+    if profiling:
+        jax.profiler.start_trace(args.profile_dir)
+
+    tic = time.time()
+    if args.mesh and args.mesh > 1:
+        from lbm_tpu.parallel.sharded import run_simulation_sharded
+
+        result = run_simulation_sharded(
+            params,
+            obstacles,
+            n_devices=args.mesh,
+            backend=args.backend,
+            dtype=dtype,
+        )
+    else:
+        result = run_simulation(
+            params,
+            obstacles,
+            backend=args.backend,
+            dtype=dtype,
+            initial_cells=initial_cells,
+            start_step=start_step,
+            av_vels_prefix=av_prefix,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=checkpoint_path if args.checkpoint_every else None,
+        )
+    toc = time.time()
+
+    if profiling:
+        jax.profiler.stop_trace()
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+
+    # The reference's exact stdout block (d2q9-bgk.c:283-287).
+    print("==done==")
+    print("Reynolds number:\t\t%.12E" % result.reynolds(params, obstacles))
+    print("Elapsed time:\t\t\t%.6f (s)" % (toc - tic))
+    print("Elapsed user CPU time:\t\t%.6f (s)" % ru.ru_utime)
+    print("Elapsed system CPU time:\t%.6f (s)" % ru.ru_stime)
+    if args.verbose:
+        print(
+            f"[lbm_tpu] compute loop {result.elapsed:.6f} s "
+            f"({result.mlups(params):.1f} MLUPS), compile {result.compile_time:.3f} s",
+            file=sys.stderr,
+        )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    write_final_state(
+        os.path.join(args.out_dir, "final_state.dat"), params, result.cells, obstacles
+    )
+    write_av_vels(os.path.join(args.out_dir, "av_vels.dat"), result.av_vels)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

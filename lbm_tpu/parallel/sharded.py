@@ -1,0 +1,215 @@
+"""Multi-device domain decomposition over a JAX mesh.
+
+The reference is strictly single-device (job_submit_d2q9-bgk:10 requests
+``nodes=1:gpus=1``; the periodic wrap is modulo indexing inside one memory
+space, kernels.cl:80-83). The TPU-native scaling path shards the lattice
+row-wise over a 1-D device mesh with ``shard_map``:
+
+- each device owns a contiguous block of rows of all 9 speed planes;
+- per step, the pull-scheme streaming needs a one-row halo from each
+  neighbor: the three north-pulling planes (2, 5, 6) need the previous
+  shard's last row and the three south-pulling planes (4, 7, 8) need the
+  next shard's first row. Both halos travel in ONE ``lax.ppermute`` each
+  (planes stacked), riding the ICI ring — the periodic boundary maps onto
+  the ring topology for free;
+- the per-step mean-velocity reduction is a ``lax.psum``;
+- the whole timestep loop stays inside one jitted ``shard_map``, so halo
+  exchange compiles to XLA collective-permutes with no host involvement.
+"""
+
+from __future__ import annotations
+
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lbm_tpu.models.d2q9 import D2Q9, LBMParams
+from lbm_tpu.ops.reference import collide
+
+AXIS = "y"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the row axis of the lattice."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"requested {n_devices} devices, only {len(devices)} available"
+                )
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _exchange_halos(planes_rows, direction: int):
+    """ppermute a stacked ``(k, 1, nx)`` set of boundary rows one step around
+    the ring. direction=+1 sends to the next shard (i -> i+1), -1 to the
+    previous."""
+    n = jax.lax.axis_size(AXIS)
+    perm = [(i, (i + direction) % n) for i in range(n)]
+    return jax.lax.ppermute(planes_rows, AXIS, perm)
+
+
+def _accelerate_local(cells, obstacles, density, accel, ny_global):
+    """Row-``ny-2`` forcing (kernels.cl:7-42) applied by whichever shard owns
+    that global row, via a global-row mask."""
+    dtype = cells.dtype
+    ny_local = cells.shape[1]
+    row_offset = jax.lax.axis_index(AXIS) * ny_local
+    local_rows = jax.lax.broadcasted_iota(jnp.int32, (ny_local, 1), 0) + row_offset
+    row_mask = (local_rows == ny_global - 2).astype(dtype)  # (ny_local, 1)
+
+    w1 = jnp.asarray(density * accel / 9.0, dtype=dtype)
+    w2 = jnp.asarray(density * accel / 36.0, dtype=dtype)
+    free = (obstacles == 0).astype(dtype)
+    ok = (
+        (cells[3] - w1 > 0.0) & (cells[6] - w2 > 0.0) & (cells[7] - w2 > 0.0)
+    ).astype(dtype)
+    m = free * ok * row_mask  # (ny_local, nx)
+
+    zero = jnp.zeros_like(m)
+    delta = jnp.stack(
+        [zero, w1 * m, zero, -w1 * m, zero, w2 * m, -w2 * m, -w2 * m, w2 * m]
+    )
+    return cells + delta
+
+
+def _stream_local(cells):
+    """Streaming with ppermute halo exchange. ``cells`` is the local
+    ``(9, ny_local, nx)`` block; x-rolls are local (each shard holds full
+    rows), y-shifts splice in one halo row from each ring neighbor."""
+    # x-rolls first (CX per plane); planes needing the same y-shift are then
+    # batched into a single ppermute.
+    xr = {
+        0: cells[0],
+        1: jnp.roll(cells[1], 1, axis=1),
+        2: cells[2],
+        3: jnp.roll(cells[3], -1, axis=1),
+        4: cells[4],
+        5: jnp.roll(cells[5], 1, axis=1),
+        6: jnp.roll(cells[6], -1, axis=1),
+        7: jnp.roll(cells[7], -1, axis=1),
+        8: jnp.roll(cells[8], 1, axis=1),
+    }
+    # Planes pulling from the row below (global y-1): need prev shard's last row.
+    south = jnp.stack([xr[2][-1:], xr[5][-1:], xr[6][-1:]])
+    south_halo = _exchange_halos(south, +1)
+    # Planes pulling from the row above (global y+1): need next shard's first row.
+    north = jnp.stack([xr[4][:1], xr[7][:1], xr[8][:1]])
+    north_halo = _exchange_halos(north, -1)
+
+    def shift_down(p, halo):  # tmp[r] = p[r-1]
+        return jnp.concatenate([halo, p[:-1]], axis=0)
+
+    def shift_up(p, halo):  # tmp[r] = p[r+1]
+        return jnp.concatenate([p[1:], halo], axis=0)
+
+    return jnp.stack(
+        [
+            xr[0],
+            xr[1],
+            shift_down(xr[2], south_halo[0]),
+            xr[3],
+            shift_up(xr[4], north_halo[0]),
+            shift_down(xr[5], south_halo[1]),
+            shift_down(xr[6], south_halo[2]),
+            shift_up(xr[7], north_halo[1]),
+            shift_up(xr[8], north_halo[2]),
+        ]
+    )
+
+
+def lbm_step_sharded(cells, obstacles, density, accel, omega, ny_global):
+    """One timestep of the local shard (runs inside shard_map).
+
+    Returns ``(new_cells, tot_u_global)`` — the reduction is already psum'd
+    across the mesh.
+    """
+    cells = _accelerate_local(cells, obstacles, density, accel, ny_global)
+    streamed = _stream_local(cells)
+    new_cells, tot_u_local = collide(streamed, obstacles, omega)
+    return new_cells, jax.lax.psum(tot_u_local, AXIS)
+
+
+def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=lbm_step_sharded):
+    """The full jitted multi-device run: cells and obstacles sharded row-wise,
+    the whole ``fori_loop`` inside one shard_map, av_vels replicated."""
+    ny_global = params.ny
+    density = float(params.density)
+    accel = float(params.accel)
+    omega = float(params.omega)
+    n_iters = params.max_iters
+
+    def local_loop(cells, obstacles, inv_tot_cells):
+        av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+
+        def body(tt, carry):
+            cells, av_vels = carry
+            cells, tot_u = step_fn(cells, obstacles, density, accel, omega, ny_global)
+            av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
+            return cells, av_vels
+
+        return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+
+    shard = P(None, AXIS, None)
+    mapped = jax.shard_map(
+        local_loop,
+        mesh=mesh,
+        in_specs=(shard, P(AXIS, None), P()),
+        out_specs=(shard, P()),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def run_simulation_sharded(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    *,
+    n_devices: int | None = None,
+    backend: str = "auto",  # reserved: per-shard pallas kernel
+    dtype=jnp.float32,
+):
+    """Run the full simulation over a device mesh. Requires ``ny`` divisible
+    by the number of devices."""
+    mesh = make_mesh(n_devices)
+    n = mesh.devices.size
+    if params.ny % n != 0:
+        raise ValueError(f"ny={params.ny} not divisible by {n} devices")
+
+    cells_sharding = NamedSharding(mesh, P(None, AXIS, None))
+    obst_sharding = NamedSharding(mesh, P(AXIS, None))
+
+    cells = jax.device_put(D2Q9.initial_state(params, dtype=dtype), cells_sharding)
+    obstacles_dev = jax.device_put(
+        jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
+    )
+    tot_cells = int(np.sum(np.asarray(obstacles) == 0))
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
+
+    from lbm_tpu.runtime.driver import sync
+
+    loop = build_sharded_loop(mesh, params)
+
+    t0 = time.perf_counter()
+    compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cells, av_vels = compiled(cells, obstacles_dev, inv_tot_cells)
+    sync(cells)
+    elapsed = time.perf_counter() - t0
+
+    from lbm_tpu.runtime.driver import SimulationResult
+
+    return SimulationResult(
+        cells=np.asarray(cells),
+        av_vels=np.asarray(av_vels),
+        elapsed=elapsed,
+        compile_time=compile_time,
+    )

@@ -1,0 +1,79 @@
+"""Checkpoint / resume.
+
+The reference has no resumable state (its only artifact, final_state.dat,
+stores moments — not the 9 distributions). Here a checkpoint is a single
+``.npz`` holding the full ``(9, ny, nx)`` distribution state, the av_vels
+prefix, the completed step count, and the params for validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+
+from lbm_tpu.models.d2q9 import LBMParams
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path, params: LBMParams, cells, av_vels, step: int) -> None:
+    """Atomically write a checkpoint (write temp + rename)."""
+    path = os.fspath(path)
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                version=_FORMAT_VERSION,
+                cells=np.asarray(cells),
+                av_vels=np.asarray(av_vels),
+                step=int(step),
+                params=np.array(
+                    [
+                        params.nx,
+                        params.ny,
+                        params.max_iters,
+                        params.reynolds_dim,
+                        params.density,
+                        params.accel,
+                        params.omega,
+                    ],
+                    dtype=np.float64,
+                ),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path, params: LBMParams):
+    """Load a checkpoint, validating it matches ``params``.
+
+    Returns ``(cells, av_vels, step)``.
+    """
+    with np.load(path) as data:
+        version = int(data["version"])
+        if version != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {version}")
+        saved = data["params"]
+        expect = [
+            params.nx,
+            params.ny,
+            params.max_iters,
+            params.reynolds_dim,
+            params.density,
+            params.accel,
+            params.omega,
+        ]
+        if not np.allclose(saved, np.array(expect, dtype=np.float64)):
+            raise ValueError(
+                f"checkpoint params {saved.tolist()} do not match run params "
+                f"{[float(v) for v in expect]}"
+            )
+        return data["cells"], data["av_vels"], int(data["step"])

@@ -1,0 +1,192 @@
+"""Simulation driver.
+
+The reference drives the simulation from the host: per step it launches two
+kernels, syncs the device, reads the whole ``tot_us`` buffer back over PCIe
+and sums it on the CPU (d2q9-bgk.c:206-228, 408-420). On TPU that per-step
+host round-trip would dominate, so the driver here compiles the ENTIRE run
+into one ``lax.fori_loop``: the carry is ``(cells, av_vels)`` with the
+per-step mean-velocity scattered into an on-device ``(maxIters,)`` array;
+nothing touches the host until the loop finishes. The final state written out
+is the true last state (the reference reads a one-step-stale buffer for even
+maxIters — d2q9-bgk.c:237-272 — a quirk this driver deliberately does not
+reproduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.models.d2q9 import D2Q9, LBMParams
+from lbm_tpu.ops.reference import lbm_step_reference
+
+
+def sync(x) -> None:
+    """Force completion of the computation producing ``x``.
+
+    ``jax.block_until_ready`` is unreliable on tunneled/relay backends (it can
+    return while the computation is still in flight); fetching a scalar that
+    data-depends on the result is a hard synchronization point everywhere.
+    """
+    jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    cells: np.ndarray  # (9, ny, nx) final state
+    av_vels: np.ndarray  # (maxIters,) per-step mean |u| over unblocked cells
+    elapsed: float  # wall-clock seconds for the compute loop (excl. compile)
+    compile_time: float  # seconds spent compiling
+
+    def mlups(self, params: LBMParams) -> float:
+        return params.nx * params.ny * params.max_iters / self.elapsed / 1e6
+
+    def reynolds(self, params: LBMParams, obstacles: np.ndarray) -> float:
+        """Reynolds number from the final state (d2q9-bgk.c:815-819):
+        mean |u| over unblocked cells * reynolds_dim / viscosity."""
+        from lbm_tpu.ops.reference import velocity_field
+
+        _, _, speed, _ = velocity_field(jnp.asarray(self.cells), jnp.asarray(obstacles))
+        free = np.asarray(obstacles) == 0
+        av = float(jnp.sum(speed * jnp.asarray(free, speed.dtype))) / int(free.sum())
+        return params.reynolds(av)
+
+
+def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
+    """Resolve the step implementation.
+
+    ``pallas`` — the fused TPU kernel; ``reference`` — the jnp oracle;
+    ``auto`` — pallas on TPU when the grid shape fits its tiling
+    constraints, reference otherwise.
+    """
+    if backend not in ("auto", "pallas", "reference"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "reference":
+        return lbm_step_reference, "reference"
+    try:
+        from lbm_tpu.ops.pallas_step import lbm_step_pallas, pallas_supported
+    except ImportError:
+        if backend == "pallas":
+            raise
+        return lbm_step_reference, "reference"
+    fits = pallas_supported(params.ny, params.nx)
+    if backend == "pallas":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} does not fit the pallas kernel's "
+                "tiling constraints"
+            )
+        return lbm_step_pallas, "pallas"
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and fits:
+        return lbm_step_pallas, "pallas"
+    return lbm_step_reference, "reference"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "step_fn"),
+    donate_argnums=(0,),
+)
+def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, step_fn):
+    av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+
+    def body(tt, carry):
+        cells, av_vels = carry
+        cells, tot_u = step_fn(cells, obstacles, density, accel, omega)
+        av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
+        return cells, av_vels
+
+    return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+
+
+def run_simulation(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    *,
+    backend: str = "auto",
+    dtype=jnp.float32,
+    initial_cells: np.ndarray | None = None,
+    start_step: int = 0,
+    av_vels_prefix: np.ndarray | None = None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+) -> SimulationResult:
+    """Run steps ``start_step .. params.max_iters`` and return the result.
+
+    ``initial_cells`` / ``start_step`` / ``av_vels_prefix`` support resuming
+    from a checkpoint (see ``runtime.checkpoint``); ``checkpoint_every`` > 0
+    snapshots state every K steps by splitting the device loop into chunks.
+    """
+    step_fn, _ = select_step_fn(params, backend)
+
+    if initial_cells is None:
+        cells = D2Q9.initial_state(params, dtype=dtype)
+    else:
+        cells = jnp.asarray(initial_cells, dtype=dtype)
+    obstacles_dev = jnp.asarray(np.asarray(obstacles), dtype=jnp.int32)
+    tot_cells = int(np.sum(np.asarray(obstacles) == 0))  # d2q9-bgk.c:146-152
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
+
+    def lower_chunk(cells, n_iters):
+        return _run_loop.lower(
+            cells,
+            obstacles_dev,
+            inv_tot_cells,
+            n_iters=n_iters,
+            density=float(params.density),
+            accel=float(params.accel),
+            omega=float(params.omega),
+            step_fn=step_fn,
+        )
+
+    remaining = params.max_iters - start_step
+    if remaining <= 0:
+        raise ValueError("start_step is beyond max_iters")
+    av_chunks = [] if av_vels_prefix is None else [np.asarray(av_vels_prefix)]
+
+    if checkpoint_every and checkpoint_every > 0:
+        chunk_sizes = []
+        step = start_step
+        while step < params.max_iters:
+            chunk_sizes.append(min(checkpoint_every, params.max_iters - step))
+            step += chunk_sizes[-1]
+    else:
+        chunk_sizes = [remaining]
+
+    # Compile up front (one compile per distinct chunk size, AOT — no
+    # execution) so `elapsed` measures only the compute loop — the analogue of
+    # the reference timing the loop but not the OpenCL program build
+    # (d2q9-bgk.c:155-156).
+    t0 = time.perf_counter()
+    compiled = {n: lower_chunk(cells, n).compile() for n in sorted(set(chunk_sizes))}
+    compile_time = time.perf_counter() - t0
+
+    elapsed = 0.0
+    step = start_step
+    for n in chunk_sizes:
+        t0 = time.perf_counter()
+        cells, av = compiled[n](cells, obstacles_dev, inv_tot_cells)
+        sync(cells)
+        elapsed += time.perf_counter() - t0
+        av_chunks.append(np.asarray(av))
+        step += n
+        if checkpoint_path is not None and checkpoint_every:
+            from lbm_tpu.runtime.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, params, np.asarray(cells), np.concatenate(av_chunks), step
+            )
+
+    return SimulationResult(
+        cells=np.asarray(cells),
+        av_vels=np.concatenate(av_chunks),
+        elapsed=elapsed,
+        compile_time=compile_time,
+    )

@@ -1,0 +1,115 @@
+"""Driver tests: the jitted fori_loop run vs the step-by-step oracle,
+checkpoint/resume, and the golden av_vels prefix."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import oracle
+from lbm_tpu.runtime.driver import run_simulation
+from lbm_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+
+def run_oracle(params, obstacles, n):
+    cells = oracle.initial_state(params)
+    tot_cells = int((obstacles == 0).sum())
+    av = []
+    for _ in range(n):
+        cells, tot_u = oracle.step(
+            cells, obstacles, params.density, params.accel, params.omega
+        )
+        av.append(tot_u / tot_cells)
+    return cells, np.array(av)
+
+
+def test_run_matches_oracle(small_params, small_obstacles):
+    import jax.numpy as jnp
+
+    result = run_simulation(
+        small_params, small_obstacles, backend="reference", dtype=jnp.float64
+    )
+    want_cells, want_av = run_oracle(small_params, small_obstacles, small_params.max_iters)
+    np.testing.assert_allclose(result.av_vels, want_av, rtol=1e-9)
+    np.testing.assert_allclose(result.cells, want_cells, rtol=1e-9)
+
+
+def test_f32_run_close_to_f64_oracle(small_params, small_obstacles):
+    result = run_simulation(small_params, small_obstacles, backend="reference")
+    want_cells, want_av = run_oracle(small_params, small_obstacles, small_params.max_iters)
+    np.testing.assert_allclose(result.av_vels, want_av, rtol=1e-4)
+
+
+def test_golden_av_vels_prefix(params128, obstacles128):
+    """First 200 steps of the 128x128 config against the golden av_vels series
+    (full-run validation is the slow golden test)."""
+    p = dataclasses.replace(params128, max_iters=200)
+    result = run_simulation(p, obstacles128, backend="reference")
+    gold = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[:200]
+    np.testing.assert_allclose(result.av_vels, gold, rtol=1e-3)
+
+
+def test_checkpoint_roundtrip(tmp_path, small_params):
+    cells = oracle.initial_state(small_params)
+    av = np.arange(7, dtype=np.float64)
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, small_params, cells, av, 7)
+    got_cells, got_av, step = load_checkpoint(path, small_params)
+    np.testing.assert_array_equal(got_cells, cells)  # pure numpy roundtrip: exact
+    np.testing.assert_array_equal(got_av, av)
+    assert step == 7
+    bad = dataclasses.replace(small_params, omega=1.5)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, bad)
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path, small_params, small_obstacles):
+    import jax.numpy as jnp
+
+    full = run_simulation(
+        small_params, small_obstacles, backend="reference", dtype=jnp.float64
+    )
+    # Run with checkpointing every 7 steps, then resume from the midpoint file.
+    path = tmp_path / "ckpt.npz"
+    run_simulation(
+        small_params,
+        small_obstacles,
+        backend="reference",
+        dtype=jnp.float64,
+        checkpoint_every=7,
+        checkpoint_path=str(path),
+    )
+    cells, av, step = load_checkpoint(path, small_params)
+    assert step == small_params.max_iters
+    # Simulate a crash after step 7: run 7 steps, resume from there to the end.
+    first7 = run_simulation(
+        dataclasses.replace(small_params, max_iters=7),
+        small_obstacles,
+        backend="reference",
+        dtype=jnp.float64,
+    )
+    resumed = run_simulation(
+        small_params,
+        small_obstacles,
+        backend="reference",
+        dtype=jnp.float64,
+        initial_cells=first7.cells,
+        start_step=7,
+        av_vels_prefix=first7.av_vels,
+    )
+    np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=1e-11)
+    np.testing.assert_allclose(resumed.cells, full.cells, rtol=1e-11)
+
+
+def test_reynolds_number(small_params, small_obstacles):
+    result = run_simulation(small_params, small_obstacles, backend="reference")
+    re = result.reynolds(small_params, small_obstacles)
+    # viscosity = (2/omega - 1)/6 (d2q9-bgk.c:817)
+    visc = (2.0 / small_params.omega - 1.0) / 6.0
+    free = small_obstacles == 0
+    cells = result.cells
+    rho = cells.sum(axis=0)
+    ux = (cells[1] + cells[5] + cells[8] - cells[3] - cells[6] - cells[7]) / rho
+    uy = (cells[2] + cells[5] + cells[6] - cells[4] - cells[7] - cells[8]) / rho
+    av = np.sqrt(ux**2 + uy**2)[free].sum() / free.sum()
+    assert re == pytest.approx(av * small_params.reynolds_dim / visc, rel=1e-5)

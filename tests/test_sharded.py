@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh (SURVEY.md §4:
+sharded vs single-device agreement without TPU pods)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbm_tpu.parallel.sharded import make_mesh, run_simulation_sharded
+from lbm_tpu.runtime.driver import run_simulation
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_matches_single_device(n_devices, small_params, small_obstacles):
+    # ny=16 divides by 2/4/8.
+    single = run_simulation(
+        small_params, small_obstacles, backend="reference", dtype=jnp.float64
+    )
+    sharded = run_simulation_sharded(
+        small_params, small_obstacles, n_devices=n_devices, dtype=jnp.float64
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, rtol=1e-11)
+    # Reduction order differs (psum of per-shard sums), so allow float slack.
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-10)
+
+
+def test_sharded_matches_oracle(small_params, small_obstacles):
+    sharded = run_simulation_sharded(
+        small_params, small_obstacles, n_devices=4, dtype=jnp.float64
+    )
+    cells = oracle.initial_state(small_params)
+    for _ in range(small_params.max_iters):
+        cells, _ = oracle.step(
+            cells,
+            small_obstacles,
+            small_params.density,
+            small_params.accel,
+            small_params.omega,
+        )
+    np.testing.assert_allclose(sharded.cells, cells, rtol=1e-9)
+
+
+def test_sharded_accelerate_row_on_owner_shard(small_params, small_obstacles):
+    """The forced row ny-2 sits inside the last shard; verify the forcing is
+    applied exactly once (no duplication across shards)."""
+    p = dataclasses.replace(small_params, max_iters=1)
+    single = run_simulation(p, small_obstacles, backend="reference", dtype=jnp.float64)
+    sharded = run_simulation_sharded(p, small_obstacles, n_devices=8, dtype=jnp.float64)
+    np.testing.assert_allclose(sharded.cells, single.cells, rtol=1e-11)
+
+
+def test_indivisible_grid_rejected(small_params, small_obstacles):
+    p = dataclasses.replace(small_params, ny=18)
+    obs = np.zeros((18, p.nx), dtype=np.int32)
+    with pytest.raises(ValueError):
+        run_simulation_sharded(p, obs, n_devices=4)
+
+
+def test_make_mesh_too_many_devices():
+    with pytest.raises(ValueError):
+        make_mesh(1000)
