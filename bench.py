@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark: single-chip throughput on the reference's largest config.
+
+Runs the 1024x1024 lattice (input_1024x1024.params geometry) with the fused
+Pallas kernel on the first available device, times a 2000-iteration jitted
+loop after AOT compile + warmup, and prints ONE JSON line:
+
+    {"metric": "mlups_1024x1024", "value": ..., "unit": "MLUPS", "vs_baseline": ...}
+
+vs_baseline is relative to the reference's best published number: its final
+OpenCL version runs 128x128 x 40k iters in 4.5 s on a BCP3 GPU node
+(`OpenCL tests.numbers` row 12) = 145.6 MLUPS.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+BASELINE_MLUPS = 128 * 128 * 40000 / 4.5 / 1e6  # reference's best: ~145.6
+
+
+def main() -> int:
+    import jax
+
+    from lbm_tpu.io import read_obstacles, read_params
+    from lbm_tpu.runtime.driver import run_simulation
+
+    params = read_params("/root/reference/input_1024x1024.params")
+    obstacles = read_obstacles("/root/reference/obstacles_1024x1024.dat", params)
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    p = dataclasses.replace(params, max_iters=iters)
+
+    platform = jax.devices()[0].platform
+    backend = "auto"
+    # Warmup run (pays compile + any backend session setup), then timed run.
+    warm = dataclasses.replace(params, max_iters=50)
+    run_simulation(warm, obstacles, backend=backend)
+
+    result = run_simulation(p, obstacles, backend=backend)
+    mlups = result.mlups(p)
+    print(
+        json.dumps(
+            {
+                "metric": "mlups_1024x1024",
+                "value": round(mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(mlups / BASELINE_MLUPS, 2),
+            }
+        )
+    )
+    print(
+        f"# {platform}, {iters} iters, loop {result.elapsed:.3f}s, "
+        f"compile {result.compile_time:.1f}s, backend={backend}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,6 +62,14 @@ def read_obstacles(path: str | os.PathLike, params: LBMParams) -> np.ndarray:
     (d2q9-bgk.c:596-631): each line is ``x y blocked``; x in [0,nx), y in
     [0,ny), blocked must be 1; duplicates are harmless re-assignments
     (the 128x128 input repeats its corner cells)."""
+    nat = _native_io()
+    if nat is not None:
+        try:
+            return nat.read_obstacles(path, params.nx, params.ny)
+        except ValueError as e:
+            raise InputError(str(e)) from e
+        except OSError:
+            pass  # fall through for the Python open() error message
     mask = np.zeros((params.ny, params.nx), dtype=np.int32)
     with open(path, "r") as f:
         for lineno, line in enumerate(f, start=1):

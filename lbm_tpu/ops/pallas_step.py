@@ -1,0 +1,231 @@
+"""Fused Pallas TPU kernel for the D2Q9/BGK timestep.
+
+One kernel pass fuses the reference's two OpenCL kernels (accelerate_flow,
+kernels.cl:7-42, and comp_func, kernels.cl:44-201) plus the per-step
+reduction the reference does on the host (d2q9-bgk.c:411-420):
+
+    accelerate row ny-2  →  pull-stream with periodic wrap  →  bounce-back
+    →  BGK collision  →  per-block partial sums of |u|
+
+Memory design (the performance ceiling is HBM bandwidth, not FLOPs):
+
+- The state is ONE ``(9, ny, nx)`` f32 array with nx on the 128-lane minor
+  axis. A 1-D grid walks row blocks of height B; each grid step streams a
+  ``(9, B, nx)`` block HBM→VMEM, computes, and writes the ``(9, B, nx)``
+  output block — each cell is read and written exactly once per step.
+- x-wrap (kernels.cl:81, 83) is a lane roll inside the block: every block
+  holds full rows, so ``pltpu.roll`` along the lane axis IS the periodic
+  boundary.
+- y-wrap needs one halo row above/below each block for the 6 diagonal/axis
+  planes. Instead of overlapping block loads (which would re-read whole
+  blocks), the driver gathers JUST the 2*nblk boundary rows of the 6
+  affected planes into two tiny ``(3, nblk, nx)`` halo arrays per step
+  (a strided-slice + roll of ~nblk rows — negligible traffic) and each grid
+  step loads its ``(3, 1, nx)`` slices.
+- The row-(ny-2) forcing is fused in: only the block owning that row applies
+  it (a broadcasted row mask under ``program_id == owner``), before the
+  streamed values are formed — so every consumer of that row inside the
+  block sees accelerated values, exactly like the reference running
+  accelerate_flow before comp_func. The halo rows never contain row ny-2
+  (boundary rows are ≡ -1, 0 mod B; ny-2 ≡ B-2 mod B, and B ≥ 8).
+- The mean-|u| reduction leaves the kernel as per-block partials summed by
+  XLA outside — the full ``tot_us`` plane never exists in HBM.
+
+Total HBM traffic per step ≈ 19 row-planes (9 read + 9 written + 1 obstacle
+read) vs the reference's 19 + a full |u| plane write + PCIe readback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
+
+# VMEM budget for resident blocks (input + output + temporaries, double
+# buffered by the pipeline). Chosen conservatively under the ~16 MB/core.
+_VMEM_BYTES = 6 * 1024 * 1024
+
+
+def _pick_block(ny: int, nx: int) -> int | None:
+    """Largest row-block height B that divides ny, is a multiple of the f32
+    sublane tile (8), and keeps 2x(in+out) blocks under the VMEM budget."""
+    if nx % 128 != 0 or ny % 8 != 0:
+        return None
+    per_row_bytes = 9 * nx * 4 * 2 * 2  # 9 planes, in+out, double-buffered
+    max_b = max(8, _VMEM_BYTES // per_row_bytes)
+    best = None
+    for b in range(8, min(256, ny) + 1, 8):
+        if ny % b == 0 and b <= max_b:
+            best = b
+    return best
+
+
+def pallas_supported(ny: int, nx: int) -> bool:
+    return _pick_block(ny, nx) is not None
+
+
+def _kernel(cells_ref, halo_ref, nobst_ref, out_ref, sums_ref,
+            *, block: int, nblk: int, w1a: float, w2a: float, omega: float):
+    """One row-block of the fused step. See module docstring for the layout.
+
+    w1a/w2a are the accelerate weights density*accel/9 and /36
+    (kernels.cl:17-18); omega the BGK relaxation rate.
+    """
+    i = pl.program_id(0)
+    nobst = nobst_ref[...]
+    obst = 1.0 - nobst
+
+    m = [cells_ref[k] for k in range(9)]
+
+    # --- fused accelerate_flow (kernels.cl:21-41) on the owning block ------
+    is_owner = i == nblk - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    row_sel = (rows == block - 2).astype(jnp.float32)  # row ny-2 lives here
+    ok = (
+        (m[3] - w1a > 0.0) & (m[6] - w2a > 0.0) & (m[7] - w2a > 0.0)
+    ).astype(jnp.float32)
+    amask = jnp.where(is_owner, row_sel * ok * nobst, 0.0)
+    m[1] = m[1] + w1a * amask
+    m[5] = m[5] + w2a * amask
+    m[8] = m[8] + w2a * amask
+    m[3] = m[3] - w1a * amask
+    m[6] = m[6] - w2a * amask
+    m[7] = m[7] - w2a * amask
+
+    # --- pull streaming (kernels.cl:80-98) ---------------------------------
+    def down(p, halo):  # tmp[r] = p[r-1]; halo is this block's row above
+        return jnp.concatenate([halo, p[: block - 1]], axis=0)
+
+    def up(p, halo):  # tmp[r] = p[r+1]; halo is this block's row below
+        return jnp.concatenate([p[1:], halo], axis=0)
+
+    def east(p):  # tmp[r, x] = p[r, x-1]
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):  # tmp[r, x] = p[r, x+1]  (pltpu.roll needs shift >= 0)
+        return pltpu.roll(p, p.shape[1] - 1, 1)
+
+    # halo_ref block is (1, 6, nx): rows [dn2, dn5, dn6, up4, up7, up8].
+    t0 = m[0]
+    t1 = east(m[1])
+    t2 = down(m[2], halo_ref[0, 0:1])
+    t3 = west(m[3])
+    t4 = up(m[4], halo_ref[0, 3:4])
+    t5 = east(down(m[5], halo_ref[0, 1:2]))
+    t6 = west(down(m[6], halo_ref[0, 2:3]))
+    t7 = west(up(m[7], halo_ref[0, 4:5]))
+    t8 = east(up(m[8], halo_ref[0, 5:6]))
+    t = [t0, t1, t2, t3, t4, t5, t6, t7, t8]
+
+    # --- moments (kernels.cl:109-134) --------------------------------------
+    rho = (((t0 + t1) + (t2 + t3)) + ((t4 + t5) + (t6 + t7))) + t8
+    inv_rho = 1.0 / rho
+    u_x = ((t1 + t5 + t8) - (t3 + t6 + t7)) * inv_rho
+    u_y = ((t2 + t5 + t6) - (t4 + t7 + t8)) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
+
+    # --- BGK equilibrium (kernels.cl:148-177) ------------------------------
+    # w_k rho (1 + cu/c_sq + cu^2/(2 c_sq^2) - u_sq/(2 c_sq)), cu = c_k . u
+    common = 1.0 - u_sq * (0.5 / C_SQ)
+    cxs = (0.0, 1.0, 0.0, -1.0, 0.0, 1.0, -1.0, -1.0, 1.0)
+    cys = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
+    ws = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
+    opp = (0, 3, 4, 1, 2, 7, 8, 5, 6)  # kernels.cl:100-107
+
+    for k in range(9):
+        if k == 0:
+            cu = None
+            feq = ws[k] * rho * common
+        else:
+            cu = cxs[k] * u_x + cys[k] * u_y if cxs[k] and cys[k] else (
+                cxs[k] * u_x if cxs[k] else cys[k] * u_y
+            )
+            feq = ws[k] * rho * (common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ)))
+        relaxed = t[k] + omega * (feq - t[k])
+        # Obstacle-masked blend with the bounce-back value (kernels.cl:179-196).
+        out_ref[k] = nobst * relaxed + obst * t[opp[k]]
+
+    # --- per-block reduction (replaces tot_us + host sum) ------------------
+    sums_ref[0, 0] = jnp.sum(nobst * jnp.sqrt(u_sq))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
+    nblk = ny // block
+    kern = functools.partial(
+        _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _prepare_obstacles(obstacles, dtype):
+    """Precompute the float not-obstacle plane once per run (the kernel's
+    arithmetic masking form, kernels.cl:85-86)."""
+    del dtype  # kernel is f32-only
+    return (obstacles == 0).astype(jnp.float32)
+
+
+def lbm_step_pallas(cells, nobst, density, accel, omega, *, interpret=False):
+    """One fused timestep. ``cells`` is ``(9, ny, nx)`` f32; ``nobst`` the
+    preprocessed float mask from :func:`lbm_step_pallas.prepare`.
+
+    Returns ``(new_cells, tot_u)``.
+    """
+    _, ny, nx = cells.shape
+    block = _pick_block(ny, nx)
+    if block is None:
+        raise ValueError(f"grid {ny}x{nx} unsupported by the pallas kernel")
+    nblk = ny // block
+
+    # Boundary-row halos for the y-shifted planes (see module docstring):
+    # halo_dn[j, i] = plane [2,5,6][j], global row (i*B - 1) mod ny
+    # halo_up[j, i] = plane [4,7,8][j], global row (i*B + B) mod ny
+    # Per-plane static strided slices so XLA reads only the boundary rows.
+    # Packed as (nblk, 6, nx): rows [dn2, dn5, dn6, up4, up7, up8] per block
+    # (the (1, 6, nx) block shape is TPU-legal since 6 equals the array dim).
+    dn = [jnp.roll(cells[k, block - 1 :: block, :], 1, axis=0) for k in (2, 5, 6)]
+    up = [jnp.roll(cells[k, ::block, :], -1, axis=0) for k in (4, 7, 8)]
+    halos = jnp.stack(dn + up, axis=1)
+
+    call = _make_pallas_call(
+        ny, nx, block,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+    )
+    new_cells, partials = call(cells, halos, nobst)
+    return new_cells, jnp.sum(partials)
+
+
+lbm_step_pallas.prepare = _prepare_obstacles
+
+
+def lbm_step_pallas_interpret(cells, nobst, density, accel, omega):
+    """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
+    return lbm_step_pallas(cells, nobst, density, accel, omega, interpret=True)
+
+
+lbm_step_pallas_interpret.prepare = _prepare_obstacles

@@ -96,6 +96,10 @@ def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
 )
 def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, step_fn):
     av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+    # Step implementations may preprocess the obstacle mask once, outside the
+    # loop (e.g. the pallas kernel wants a float "not-obstacle" plane).
+    prepare = getattr(step_fn, "prepare", None)
+    obstacles = prepare(obstacles, cells.dtype) if prepare is not None else obstacles
 
     def body(tt, carry):
         cells, av_vels = carry

@@ -2,6 +2,10 @@
 multi-chip sharding path is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
+import sys
+
+# Make the repo root importable regardless of how pytest was invoked.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
