@@ -58,6 +58,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--out-dir", default=".", help="directory for output .dat files")
     p.add_argument(
+        "--device",
+        type=int,
+        default=None,
+        metavar="N",
+        help="device index (default: $LBM_DEVICE or first device; "
+        "the reference's OCL_DEVICE analogue)",
+    )
+    p.add_argument(
+        "--list-devices",
+        action="store_true",
+        help="print the device table and exit",
+    )
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help="per-step av-velocity + total-density report (the reference's "
+        "-DDEBUG mode)",
+    )
+    p.add_argument(
+        "--check-nan",
+        action="store_true",
+        help="fail fast if the simulation goes non-finite",
+    )
+    p.add_argument(
         "--checkpoint-every",
         type=int,
         default=0,
@@ -100,9 +124,21 @@ def main(argv=None) -> int:
     from lbm_tpu.io import read_obstacles, read_params, write_av_vels, write_final_state
     from lbm_tpu.runtime.driver import run_simulation
 
+    from lbm_tpu.runtime.device import print_devices, select_device
+
+    if args.list_devices:
+        print_devices(file=sys.stdout)
+        return 0
+
     # Clean fatal diagnostics for bad inputs (the reference's die(),
     # d2q9-bgk.c:933-939) rather than tracebacks.
     from lbm_tpu.io.files import InputError
+
+    try:
+        device = select_device(args.device)
+    except (IndexError, ValueError) as e:
+        print(f"lbm_tpu: error: {e}", file=sys.stderr)
+        return 1
 
     try:
         params = read_params(args.paramfile)
@@ -113,11 +149,13 @@ def main(argv=None) -> int:
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
 
     if args.verbose:
-        dev = jax.devices()[0]
+        from lbm_tpu.runtime.device import format_device_list
+
+        print(format_device_list(), file=sys.stderr)
         print(
             f"[lbm_tpu] grid {params.nx}x{params.ny}, {params.max_iters} iters, "
             f"backend={args.backend}, precision={args.precision}, "
-            f"device={dev.device_kind} ({dev.platform})",
+            f"device={device.device_kind} ({device.platform})",
             file=sys.stderr,
         )
 
@@ -134,6 +172,13 @@ def main(argv=None) -> int:
         initial_cells, av_prefix, start_step = load_checkpoint(checkpoint_path, params)
         if args.verbose:
             print(f"[lbm_tpu] resuming from step {start_step}", file=sys.stderr)
+        if start_step >= params.max_iters:
+            print(
+                f"lbm_tpu: error: checkpoint already at step {start_step} of "
+                f"{params.max_iters}; nothing to resume",
+                file=sys.stderr,
+            )
+            return 1
 
     profiling = args.profile_dir is not None
     if profiling:
@@ -151,6 +196,17 @@ def main(argv=None) -> int:
             dtype=dtype,
         )
     else:
+        on_chunk = None
+        chunk_every = 0
+        if args.debug:
+            # The reference's -DDEBUG per-step report (d2q9-bgk.c:229-233).
+            from lbm_tpu.utils.diagnostics import debug_report
+
+            chunk_every = 1
+
+            def on_chunk(step, cells, av_chunk):
+                print(debug_report(step - 1, float(av_chunk[-1]), cells))
+
         result = run_simulation(
             params,
             obstacles,
@@ -161,7 +217,18 @@ def main(argv=None) -> int:
             av_vels_prefix=av_prefix,
             checkpoint_every=args.checkpoint_every,
             checkpoint_path=checkpoint_path if args.checkpoint_every else None,
+            chunk_every=chunk_every,
+            on_chunk=on_chunk,
+            device=device,
         )
+    if args.check_nan:
+        from lbm_tpu.utils.diagnostics import NaNError, check_finite
+
+        try:
+            check_finite(result.av_vels, result.cells, context="end of run")
+        except NaNError as e:
+            print(f"lbm_tpu: error: {e}", file=sys.stderr)
+            return 1
     toc = time.time()
 
     if profiling:

@@ -69,7 +69,8 @@ def pallas_supported(ny: int, nx: int) -> bool:
     return _pick_block(ny, nx) is not None
 
 
-def _kernel(cells_ref, halo_ref, nobst_ref, out_ref, sums_ref,
+def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref,
+            out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref,
             *, block: int, nblk: int, w1a: float, w2a: float, omega: float):
     """One row-block of the fused step. See module docstring for the layout.
 
@@ -110,16 +111,19 @@ def _kernel(cells_ref, halo_ref, nobst_ref, out_ref, sums_ref,
     def west(p):  # tmp[r, x] = p[r, x+1]  (pltpu.roll needs shift >= 0)
         return pltpu.roll(p, p.shape[1] - 1, 1)
 
-    # halo_ref block is (1, 6, nx): rows [dn2, dn5, dn6, up4, up7, up8].
+    # halo_dn_ref holds block (i-1)'s LAST row of planes [2,5,6] and
+    # halo_up_ref block (i+1)'s FIRST row of planes [4,7,8] (index maps do
+    # the modular neighbor selection) — produced as side outputs of the
+    # previous timestep's kernel, so no gather pass is needed per step.
     t0 = m[0]
     t1 = east(m[1])
-    t2 = down(m[2], halo_ref[0, 0:1])
+    t2 = down(m[2], halo_dn_ref[0, 0:1])
     t3 = west(m[3])
-    t4 = up(m[4], halo_ref[0, 3:4])
-    t5 = east(down(m[5], halo_ref[0, 1:2]))
-    t6 = west(down(m[6], halo_ref[0, 2:3]))
-    t7 = west(up(m[7], halo_ref[0, 4:5]))
-    t8 = east(up(m[8], halo_ref[0, 5:6]))
+    t4 = up(m[4], halo_up_ref[0, 0:1])
+    t5 = east(down(m[5], halo_dn_ref[0, 1:2]))
+    t6 = west(down(m[6], halo_dn_ref[0, 2:3]))
+    t7 = west(up(m[7], halo_up_ref[0, 1:2]))
+    t8 = east(up(m[8], halo_up_ref[0, 2:3]))
     t = [t0, t1, t2, t3, t4, t5, t6, t7, t8]
 
     # --- moments (kernels.cl:109-134) --------------------------------------
@@ -137,6 +141,7 @@ def _kernel(cells_ref, halo_ref, nobst_ref, out_ref, sums_ref,
     ws = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
     opp = (0, 3, 4, 1, 2, 7, 8, 5, 6)  # kernels.cl:100-107
 
+    res = []
     for k in range(9):
         if k == 0:
             cu = None
@@ -148,10 +153,23 @@ def _kernel(cells_ref, halo_ref, nobst_ref, out_ref, sums_ref,
             feq = ws[k] * rho * (common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ)))
         relaxed = t[k] + omega * (feq - t[k])
         # Obstacle-masked blend with the bounce-back value (kernels.cl:179-196).
-        out_ref[k] = nobst * relaxed + obst * t[opp[k]]
+        val = nobst * relaxed + obst * t[opp[k]]
+        out_ref[k] = val
+        res.append(val)
+
+    # Side outputs: this block's boundary rows of the NEW state, which are
+    # exactly the halo rows the next timestep's neighbors will pull.
+    halo_dn_out_ref[0, 0:1] = res[2][block - 1 : block]
+    halo_dn_out_ref[0, 1:2] = res[5][block - 1 : block]
+    halo_dn_out_ref[0, 2:3] = res[6][block - 1 : block]
+    halo_up_out_ref[0, 0:1] = res[4][0:1]
+    halo_up_out_ref[0, 1:2] = res[7][0:1]
+    halo_up_out_ref[0, 2:3] = res[8][0:1]
 
     # --- per-block reduction (replaces tot_us + host sum) ------------------
-    sums_ref[0, 0] = jnp.sum(nobst * jnp.sqrt(u_sq))
+    # sums_ref is the full (nblk, 1) SMEM accumulator, resident across the
+    # sequential grid; each block writes its own slot.
+    sums_ref[i, 0] = jnp.sum(nobst * jnp.sqrt(u_sq))
 
 
 @functools.lru_cache(maxsize=None)
@@ -165,19 +183,39 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # Neighbor halos, selected by modular index maps (see _kernel).
+            pl.BlockSpec(
+                (1, 3, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((block, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 3, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 3, nx), jnp.float32),
             jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
         ],
         interpret=interpret,
     )
+
+
+def make_halos(cells, block):
+    """Initial boundary-row halo arrays for the carry (step t's kernel then
+    produces the next pair as side outputs): ``halo_dn[j]`` = last row of
+    block j of planes [2,5,6]; ``halo_up[j]`` = first row of planes [4,7,8].
+    """
+    halo_dn = jnp.stack([cells[k, block - 1 :: block, :] for k in (2, 5, 6)], axis=1)
+    halo_up = jnp.stack([cells[k, ::block, :] for k in (4, 7, 8)], axis=1)
+    return halo_dn, halo_up
 
 
 def _prepare_obstacles(obstacles, dtype):
@@ -187,28 +225,18 @@ def _prepare_obstacles(obstacles, dtype):
     return (obstacles == 0).astype(jnp.float32)
 
 
-def lbm_step_pallas(cells, nobst, density, accel, omega, *, interpret=False):
-    """One fused timestep. ``cells`` is ``(9, ny, nx)`` f32; ``nobst`` the
-    preprocessed float mask from :func:`lbm_step_pallas.prepare`.
+def _step_carry(state, nobst, density, accel, omega, *, interpret=False):
+    """One fused timestep on the ``(cells, halo_dn, halo_up)`` carry.
 
-    Returns ``(new_cells, tot_u)``.
+    The halo pair always equals the boundary rows of ``cells`` — maintained
+    by the kernel itself as side outputs, so steady-state steps do zero
+    gather work outside the kernel.
     """
+    cells, halo_dn, halo_up = state
     _, ny, nx = cells.shape
     block = _pick_block(ny, nx)
     if block is None:
         raise ValueError(f"grid {ny}x{nx} unsupported by the pallas kernel")
-    nblk = ny // block
-
-    # Boundary-row halos for the y-shifted planes (see module docstring):
-    # halo_dn[j, i] = plane [2,5,6][j], global row (i*B - 1) mod ny
-    # halo_up[j, i] = plane [4,7,8][j], global row (i*B + B) mod ny
-    # Per-plane static strided slices so XLA reads only the boundary rows.
-    # Packed as (nblk, 6, nx): rows [dn2, dn5, dn6, up4, up7, up8] per block
-    # (the (1, 6, nx) block shape is TPU-legal since 6 equals the array dim).
-    dn = [jnp.roll(cells[k, block - 1 :: block, :], 1, axis=0) for k in (2, 5, 6)]
-    up = [jnp.roll(cells[k, ::block, :], -1, axis=0) for k in (4, 7, 8)]
-    halos = jnp.stack(dn + up, axis=1)
-
     call = _make_pallas_call(
         ny, nx, block,
         float(density * accel / 9.0),
@@ -216,16 +244,47 @@ def lbm_step_pallas(cells, nobst, density, accel, omega, *, interpret=False):
         float(omega),
         bool(interpret),
     )
-    new_cells, partials = call(cells, halos, nobst)
-    return new_cells, jnp.sum(partials)
+    new_cells, new_dn, new_up, partials = call(cells, halo_dn, halo_up, nobst)
+    return (new_cells, new_dn, new_up), jnp.sum(partials)
+
+
+def _init_state(cells):
+    block = _pick_block(cells.shape[1], cells.shape[2])
+    cells = cells.astype(jnp.float32)
+    halo_dn, halo_up = make_halos(cells, block)
+    return cells, halo_dn, halo_up
+
+
+def _extract_cells(state):
+    return state[0]
+
+
+def lbm_step_pallas(state, nobst, density, accel, omega):
+    """Fused-kernel step (TPU). Accepts either the ``(cells, halo_dn,
+    halo_up)`` carry (the fast path the driver uses via ``init_state``) or a
+    bare ``(9, ny, nx)`` cells array (convenience/oracle form — halos built
+    on the fly). Returns the same structure it was given plus ``tot_u``."""
+    if isinstance(state, tuple) or isinstance(state, list):
+        return _step_carry(tuple(state), nobst, density, accel, omega)
+    new_state, tot_u = _step_carry(_init_state(state), nobst, density, accel, omega)
+    return new_state[0], tot_u
 
 
 lbm_step_pallas.prepare = _prepare_obstacles
+lbm_step_pallas.init_state = _init_state
+lbm_step_pallas.extract = _extract_cells
 
 
-def lbm_step_pallas_interpret(cells, nobst, density, accel, omega):
+def lbm_step_pallas_interpret(state, nobst, density, accel, omega):
     """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
-    return lbm_step_pallas(cells, nobst, density, accel, omega, interpret=True)
+    if isinstance(state, tuple) or isinstance(state, list):
+        return _step_carry(tuple(state), nobst, density, accel, omega, interpret=True)
+    new_state, tot_u = _step_carry(
+        _init_state(state), nobst, density, accel, omega, interpret=True
+    )
+    return new_state[0], tot_u
 
 
 lbm_step_pallas_interpret.prepare = _prepare_obstacles
+lbm_step_pallas_interpret.init_state = _init_state
+lbm_step_pallas_interpret.extract = _extract_cells

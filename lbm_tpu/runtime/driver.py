@@ -97,17 +97,23 @@ def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
 def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, step_fn):
     av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
     # Step implementations may preprocess the obstacle mask once, outside the
-    # loop (e.g. the pallas kernel wants a float "not-obstacle" plane).
+    # loop (e.g. the pallas kernel wants a float "not-obstacle" plane), and
+    # may carry extra state across steps (e.g. kernel-maintained halo rows).
     prepare = getattr(step_fn, "prepare", None)
     obstacles = prepare(obstacles, cells.dtype) if prepare is not None else obstacles
+    init_state = getattr(step_fn, "init_state", None)
+    state = init_state(cells) if init_state is not None else cells
 
     def body(tt, carry):
-        cells, av_vels = carry
-        cells, tot_u = step_fn(cells, obstacles, density, accel, omega)
+        state, av_vels = carry
+        state, tot_u = step_fn(state, obstacles, density, accel, omega)
         av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
-        return cells, av_vels
+        return state, av_vels
 
-    return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+    state, av_vels = jax.lax.fori_loop(0, n_iters, body, (state, av_vels))
+    extract = getattr(step_fn, "extract", None)
+    cells = extract(state) if extract is not None else state
+    return cells, av_vels
 
 
 def run_simulation(
@@ -121,12 +127,18 @@ def run_simulation(
     av_vels_prefix: np.ndarray | None = None,
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
+    chunk_every: int = 0,
+    on_chunk=None,
+    device=None,
 ) -> SimulationResult:
     """Run steps ``start_step .. params.max_iters`` and return the result.
 
     ``initial_cells`` / ``start_step`` / ``av_vels_prefix`` support resuming
     from a checkpoint (see ``runtime.checkpoint``); ``checkpoint_every`` > 0
     snapshots state every K steps by splitting the device loop into chunks.
+    ``chunk_every``/``on_chunk`` split the loop for observation without
+    checkpointing (e.g. per-step debug reports): ``on_chunk(step, cells,
+    av_chunk)`` is called after each chunk with the completed step count.
     """
     step_fn, _ = select_step_fn(params, backend)
 
@@ -135,6 +147,9 @@ def run_simulation(
     else:
         cells = jnp.asarray(initial_cells, dtype=dtype)
     obstacles_dev = jnp.asarray(np.asarray(obstacles), dtype=jnp.int32)
+    if device is not None:
+        cells = jax.device_put(cells, device)
+        obstacles_dev = jax.device_put(obstacles_dev, device)
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))  # d2q9-bgk.c:146-152
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
 
@@ -155,11 +170,16 @@ def run_simulation(
         raise ValueError("start_step is beyond max_iters")
     av_chunks = [] if av_vels_prefix is None else [np.asarray(av_vels_prefix)]
 
+    stride = 0
     if checkpoint_every and checkpoint_every > 0:
+        stride = checkpoint_every
+    if chunk_every and chunk_every > 0:
+        stride = min(stride, chunk_every) if stride else chunk_every
+    if stride:
         chunk_sizes = []
         step = start_step
         while step < params.max_iters:
-            chunk_sizes.append(min(checkpoint_every, params.max_iters - step))
+            chunk_sizes.append(min(stride, params.max_iters - step))
             step += chunk_sizes[-1]
     else:
         chunk_sizes = [remaining]
@@ -181,7 +201,13 @@ def run_simulation(
         elapsed += time.perf_counter() - t0
         av_chunks.append(np.asarray(av))
         step += n
-        if checkpoint_path is not None and checkpoint_every:
+        if on_chunk is not None:
+            on_chunk(step, cells, av_chunks[-1])
+        if (
+            checkpoint_path is not None
+            and checkpoint_every
+            and (step % checkpoint_every == 0 or step == params.max_iters)
+        ):
             from lbm_tpu.runtime.checkpoint import save_checkpoint
 
             save_checkpoint(

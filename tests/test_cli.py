@@ -1,0 +1,86 @@
+"""End-to-end CLI tests (in-process main(), CPU backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lbm_tpu.cli import main
+from lbm_tpu.utils.geometry import write_obstacle_file, write_params_file, box
+
+
+@pytest.fixture
+def tiny_inputs(tmp_path):
+    params = tmp_path / "tiny.params"
+    obstacles = tmp_path / "tiny_obs.dat"
+    write_params_file(params, 16, 16, 8, 10, 0.1, 0.005, 1.85)
+    write_obstacle_file(obstacles, box(16, 16))
+    return str(params), str(obstacles)
+
+
+def test_cli_end_to_end(tiny_inputs, tmp_path, capsys):
+    params, obstacles = tiny_inputs
+    out = tmp_path / "out"
+    rc = main([params, obstacles, "--backend", "reference", "--out-dir", str(out)])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    # The reference's stdout contract (d2q9-bgk.c:283-287).
+    assert "==done==" in captured
+    assert "Reynolds number:\t\t" in captured
+    assert "Elapsed time:\t\t\t" in captured
+    av = (out / "av_vels.dat").read_text().splitlines()
+    assert len(av) == 8 and av[0].startswith("0:\t")
+    fs = (out / "final_state.dat").read_text().splitlines()
+    assert len(fs) == 16 * 16
+
+
+def test_cli_bad_inputs(tmp_path, capsys):
+    assert main([str(tmp_path / "none.params"), "x"]) == 1
+    assert "lbm_tpu: error:" in capsys.readouterr().err
+
+
+def test_cli_list_devices(capsys):
+    assert main(["--list-devices", "x", "y"]) == 0
+    assert "Available devices:" in capsys.readouterr().out
+
+
+def test_cli_debug_mode(tiny_inputs, tmp_path, capsys):
+    params, obstacles = tiny_inputs
+    rc = main(
+        [params, obstacles, "--backend", "reference", "--out-dir", str(tmp_path / "o"),
+         "--debug", "--check-nan"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # Per-step DEBUG report (d2q9-bgk.c:229-233).
+    assert "==timestep: 0==" in out and "==timestep: 7==" in out
+    assert "tot density:" in out
+
+
+def test_cli_checkpoint_resume(tiny_inputs, tmp_path):
+    params, obstacles = tiny_inputs
+    out1 = tmp_path / "full"
+    assert main([params, obstacles, "--backend", "reference", "--out-dir", str(out1)]) == 0
+    out2 = tmp_path / "ck"
+    ckpt = str(tmp_path / "ck.npz")
+    assert (
+        main(
+            [params, obstacles, "--backend", "reference", "--out-dir", str(out2),
+             "--checkpoint-every", "3", "--checkpoint-path", ckpt]
+        )
+        == 0
+    )
+    assert os.path.exists(ckpt)
+    av1 = np.loadtxt(out1 / "av_vels.dat", usecols=[1])
+    av2 = np.loadtxt(out2 / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(av1, av2, rtol=1e-6)
+    # Resume from the final checkpoint is rejected (nothing left to run)…
+    # resume from a mid-run snapshot continues to the same answer: simulate by
+    # truncating: rerun with checkpointing to step 3 only is covered in
+    # test_driver; here just confirm --resume with a complete checkpoint errors
+    # cleanly.
+    rc = main(
+        [params, obstacles, "--backend", "reference", "--out-dir", str(out2),
+         "--resume", "--checkpoint-path", ckpt]
+    )
+    assert rc == 1
