@@ -69,7 +69,7 @@ def pallas_supported(ny: int, nx: int) -> bool:
     return _pick_block(ny, nx) is not None
 
 
-def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref,
+def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
             out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref,
             *, block: int, nblk: int, w1a: float, w2a: float, omega: float):
     """One row-block of the fused step. See module docstring for the layout.
@@ -84,13 +84,15 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref,
     m = [cells_ref[k] for k in range(9)]
 
     # --- fused accelerate_flow (kernels.cl:21-41) on the owning block ------
+    # owner_ref is 1.0 only on the shard holding global row ny-2 (always 1.0
+    # single-device); within that shard the last block's row B-2 is ny-2.
     is_owner = i == nblk - 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     row_sel = (rows == block - 2).astype(jnp.float32)  # row ny-2 lives here
     ok = (
         (m[3] - w1a > 0.0) & (m[6] - w2a > 0.0) & (m[7] - w2a > 0.0)
     ).astype(jnp.float32)
-    amask = jnp.where(is_owner, row_sel * ok * nobst, 0.0)
+    amask = jnp.where(is_owner, row_sel * ok * nobst, 0.0) * owner_ref[0, 0]
     m[1] = m[1] + w1a * amask
     m[5] = m[5] + w2a * amask
     m[8] = m[8] + w2a * amask
@@ -191,6 +193,7 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
                 (1, 3, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((block, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -225,12 +228,13 @@ def _prepare_obstacles(obstacles, dtype):
     return (obstacles == 0).astype(jnp.float32)
 
 
-def _step_carry(state, nobst, density, accel, omega, *, interpret=False):
+def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=None):
     """One fused timestep on the ``(cells, halo_dn, halo_up)`` carry.
 
     The halo pair always equals the boundary rows of ``cells`` — maintained
     by the kernel itself as side outputs, so steady-state steps do zero
-    gather work outside the kernel.
+    gather work outside the kernel. ``owner`` (default 1.0) gates the
+    forcing row for sharded use, where only one shard holds row ny-2.
     """
     cells, halo_dn, halo_up = state
     _, ny, nx = cells.shape
@@ -244,7 +248,9 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False):
         float(omega),
         bool(interpret),
     )
-    new_cells, new_dn, new_up, partials = call(cells, halo_dn, halo_up, nobst)
+    if owner is None:
+        owner = jnp.ones((1, 1), jnp.float32)
+    new_cells, new_dn, new_up, partials = call(cells, halo_dn, halo_up, nobst, owner)
     return (new_cells, new_dn, new_up), jnp.sum(partials)
 
 

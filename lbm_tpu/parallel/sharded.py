@@ -137,25 +137,102 @@ def lbm_step_sharded(cells, obstacles, density, accel, omega, ny_global):
     return new_cells, jax.lax.psum(tot_u_local, AXIS)
 
 
-def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=lbm_step_sharded):
+def make_sharded_pallas_step(interpret: bool = False):
+    """The fused Pallas kernel as the per-shard step (runs inside shard_map).
+
+    Each shard runs the kernel on its local row block; the kernel maintains
+    per-block boundary-row halos as side outputs, and the two slots that
+    cross shard boundaries are swapped with ring ``ppermute``s — one send of
+    3 rows in each direction per step, riding ICI. The forcing row is gated
+    by an owner scalar so only the shard holding global row ny-2 applies it.
+
+    The returned function carries ``(cells_local, halo_dn, halo_up)`` and
+    exposes the driver's init_state/extract/prepare protocol.
+    """
+    from lbm_tpu.ops import pallas_step as PS
+
+    def step(state, nobst, density, accel, omega):
+        n = jax.lax.axis_size(AXIS)
+        idx = jax.lax.axis_index(AXIS)
+        owner = (idx == n - 1).astype(jnp.float32).reshape(1, 1)
+        (cells, dn, up), tot_local = PS._step_carry(
+            state, nobst, density, accel, omega, interpret=interpret, owner=owner
+        )
+        dn, up = _exchange_boundary_slots(dn, up)
+        return (cells, dn, up), jax.lax.psum(tot_local, AXIS)
+
+    def init_state(cells_local):
+        cells_local = cells_local.astype(jnp.float32)
+        block = PS._pick_block(cells_local.shape[1], cells_local.shape[2])
+        if block is None:
+            raise ValueError(
+                f"local grid {cells_local.shape[1]}x{cells_local.shape[2]} "
+                "unsupported by the pallas kernel"
+            )
+        dn, up = PS.make_halos(cells_local, block)
+        dn, up = _exchange_boundary_slots(dn, up)
+        return cells_local, dn, up
+
+    step.init_state = init_state
+    step.extract = lambda state: state[0]
+    step.prepare = PS._prepare_obstacles
+    return step
+
+
+def _exchange_boundary_slots(dn, up):
+    """Swap the shard-crossing halo slots around the ring.
+
+    Slot ``nblk-1`` of halo_dn is read by local block 0, whose upstream
+    neighbor lives on the previous shard; slot 0 of halo_up is read by the
+    last local block, whose downstream neighbor is on the next shard.
+    """
+    n = jax.lax.axis_size(AXIS)
+    nblk = dn.shape[0]
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    dn_recv = jax.lax.ppermute(dn[nblk - 1 : nblk], AXIS, fwd)
+    up_recv = jax.lax.ppermute(up[0:1], AXIS, bwd)
+    return dn.at[nblk - 1 : nblk].set(dn_recv), up.at[0:1].set(up_recv)
+
+
+def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None):
     """The full jitted multi-device run: cells and obstacles sharded row-wise,
-    the whole ``fori_loop`` inside one shard_map, av_vels replicated."""
+    the whole ``fori_loop`` inside one shard_map, av_vels replicated.
+
+    ``step_fn`` operates on the local shard and may expose the driver's
+    prepare/init_state/extract protocol (the sharded pallas step does);
+    default is the jnp reference step.
+    """
     ny_global = params.ny
     density = float(params.density)
     accel = float(params.accel)
     omega = float(params.omega)
     n_iters = params.max_iters
 
+    if step_fn is None:
+        def step_fn(cells, obstacles, d, a, o):  # noqa: ANN001
+            return lbm_step_sharded(cells, obstacles, d, a, o, ny_global)
+
+    prepare = getattr(step_fn, "prepare", None)
+    init_state = getattr(step_fn, "init_state", None)
+    extract = getattr(step_fn, "extract", None)
+
     def local_loop(cells, obstacles, inv_tot_cells):
         av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+        obstacles_prep = (
+            prepare(obstacles, cells.dtype) if prepare is not None else obstacles
+        )
+        state = init_state(cells) if init_state is not None else cells
 
         def body(tt, carry):
-            cells, av_vels = carry
-            cells, tot_u = step_fn(cells, obstacles, density, accel, omega, ny_global)
+            state, av_vels = carry
+            state, tot_u = step_fn(state, obstacles_prep, density, accel, omega)
             av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
-            return cells, av_vels
+            return state, av_vels
 
-        return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+        state, av_vels = jax.lax.fori_loop(0, n_iters, body, (state, av_vels))
+        cells = extract(state) if extract is not None else state
+        return cells.astype(av_vels.dtype), av_vels
 
     shard = P(None, AXIS, None)
     mapped = jax.shard_map(
@@ -163,6 +240,9 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=lbm_step_sharded):
         mesh=mesh,
         in_specs=(shard, P(AXIS, None), P()),
         out_specs=(shard, P()),
+        # pallas_call out_shapes carry no varying-mesh-axis annotations;
+        # correctness across shards is covered by tests instead.
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -182,6 +262,22 @@ def run_simulation_sharded(
     if params.ny % n != 0:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
 
+    step_fn = None
+    if backend in ("auto", "pallas"):
+        from lbm_tpu.ops.pallas_step import pallas_supported
+
+        fits = pallas_supported(params.ny // n, params.nx)
+        on_tpu = mesh.devices.flat[0].platform == "tpu"
+        if backend == "pallas":
+            if not fits:
+                raise ValueError(
+                    f"local grid {params.ny // n}x{params.nx} does not fit the "
+                    "pallas kernel's tiling constraints"
+                )
+            step_fn = make_sharded_pallas_step(interpret=not on_tpu)
+        elif on_tpu and fits:
+            step_fn = make_sharded_pallas_step()
+
     cells_sharding = NamedSharding(mesh, P(None, AXIS, None))
     obst_sharding = NamedSharding(mesh, P(AXIS, None))
 
@@ -194,7 +290,7 @@ def run_simulation_sharded(
 
     from lbm_tpu.runtime.driver import sync
 
-    loop = build_sharded_loop(mesh, params)
+    loop = build_sharded_loop(mesh, params, step_fn=step_fn)
 
     t0 = time.perf_counter()
     compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
