@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="write a jax.profiler trace (view with TensorBoard)",
     )
     p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed for multi-host pod slices "
+        "(reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)",
+    )
+    p.add_argument(
         "--verbose", "-v", action="store_true", help="log configuration and timings"
     )
     return p
@@ -123,6 +129,11 @@ def main(argv=None) -> int:
 
     from lbm_tpu.io import read_obstacles, read_params, write_av_vels, write_final_state
     from lbm_tpu.runtime.driver import run_simulation
+
+    if args.multihost:
+        from lbm_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost()
 
     from lbm_tpu.runtime.device import print_devices, select_device
 

@@ -18,10 +18,13 @@ Memory design (the performance ceiling is HBM bandwidth, not FLOPs):
   boundary.
 - y-wrap needs one halo row above/below each block for the 6 diagonal/axis
   planes. Instead of overlapping block loads (which would re-read whole
-  blocks), the driver gathers JUST the 2*nblk boundary rows of the 6
-  affected planes into two tiny ``(3, nblk, nx)`` halo arrays per step
-  (a strided-slice + roll of ~nblk rows — negligible traffic) and each grid
-  step loads its ``(3, 1, nx)`` slices.
+  blocks) or gathering boundary rows with strided slices per step (a
+  separate, surprisingly expensive XLA pass), the kernel MAINTAINS the halos
+  itself: each block emits its own boundary rows of the NEW state as two
+  tiny ``(nblk, 3, nx)`` side outputs, and the next step's kernel reads its
+  neighbors' slots via modular BlockSpec index maps. The
+  ``(cells, halo_dn, halo_up)`` triple is the loop carry (see
+  ``make_halos`` for the one-time initialization).
 - The row-(ny-2) forcing is fused in: only the block owning that row applies
   it (a broadcasted row mask under ``program_id == owner``), before the
   streamed values are formed — so every consumer of that row inside the
@@ -38,6 +41,7 @@ read) vs the reference's 19 + a full |u| plane write + PCIe readback.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,22 +51,29 @@ from jax.experimental.pallas import tpu as pltpu
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
 # VMEM budget for resident blocks (input + output + temporaries, double
-# buffered by the pipeline). Chosen conservatively under the ~16 MB/core.
-_VMEM_BYTES = 6 * 1024 * 1024
+# buffered by the pipeline). Chosen conservatively under the ~16 MB/core
+# guidance while still admitting B=8 at nx=8192 (the weak-scaling config).
+_VMEM_BYTES = 10 * 1024 * 1024
 
 
 def _pick_block(ny: int, nx: int) -> int | None:
-    """Largest row-block height B that divides ny, is a multiple of the f32
-    sublane tile (8), and keeps 2x(in+out) blocks under the VMEM budget."""
+    """Row-block height B: divides ny, multiple of the f32 sublane tile (8),
+    2x(in+out) blocks under the VMEM budget, and closest to 32 — measured
+    fastest at 1024^2 (B=32 ≈ 112 µs/step vs B=64 ≈ 126 µs/step)."""
     if nx % 128 != 0 or ny % 8 != 0:
         return None
+    override = os.environ.get("LBM_PALLAS_BLOCK")
+    if override:
+        b = int(override)
+        return b if (b >= 8 and b % 8 == 0 and ny % b == 0) else None
     per_row_bytes = 9 * nx * 4 * 2 * 2  # 9 planes, in+out, double-buffered
     max_b = max(8, _VMEM_BYTES // per_row_bytes)
-    best = None
-    for b in range(8, min(256, ny) + 1, 8):
-        if ny % b == 0 and b <= max_b:
-            best = b
-    return best
+    candidates = [
+        b for b in range(8, min(256, ny) + 1, 8) if ny % b == 0 and b <= max_b
+    ]
+    if not candidates:
+        return None
+    return min(candidates, key=lambda b: (abs(b - 32), -b))
 
 
 def pallas_supported(ny: int, nx: int) -> bool:
@@ -207,6 +218,14 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
             jax.ShapeDtypeStruct((nblk, 3, nx), jnp.float32),
             jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
         ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            # in+out blocks double-buffered, plus halo slices and headroom.
+            vmem_limit_bytes=min(
+                120 * 1024 * 1024, 5 * (9 * block * nx * 4) + 8 * 1024 * 1024
+            ),
+        ),
         interpret=interpret,
     )
 

@@ -113,3 +113,16 @@ def test_reynolds_number(small_params, small_obstacles):
     uy = (cells[2] + cells[5] + cells[6] - cells[4] - cells[7] - cells[8]) / rho
     av = np.sqrt(ux**2 + uy**2)[free].sum() / free.sum()
     assert re == pytest.approx(av * small_params.reynolds_dim / visc, rel=1e-5)
+
+
+def test_backend_auto_fallback_nonaligned():
+    """Grids that don't fit the pallas tiling fall back to the jnp step."""
+    from lbm_tpu.models.d2q9 import LBMParams
+    from lbm_tpu.runtime.driver import select_step_fn
+
+    p = LBMParams(nx=100, ny=100, max_iters=1, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    fn, name = select_step_fn(p, "auto")
+    assert name == "reference"
+    with pytest.raises(ValueError):
+        select_step_fn(p, "pallas")
