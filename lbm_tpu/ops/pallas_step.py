@@ -50,30 +50,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
-# VMEM budget for resident blocks (input + output + temporaries, double
-# buffered by the pipeline). Chosen conservatively under the ~16 MB/core
-# guidance while still admitting B=8 at nx=8192 (the weak-scaling config).
-_VMEM_BYTES = 10 * 1024 * 1024
-
-
 def _pick_block(ny: int, nx: int) -> int | None:
-    """Row-block height B: divides ny, multiple of the f32 sublane tile (8),
-    2x(in+out) blocks under the VMEM budget, and closest to 32 — measured
-    fastest at 1024^2 (B=32 ≈ 112 µs/step vs B=64 ≈ 126 µs/step)."""
+    """Row-block height B (must divide ny; multiples of the f32 sublane
+    tile). Returns None for shapes the kernel can't tile (caller falls back
+    to the jnp step). ``LBM_PALLAS_BLOCK`` overrides for sweeps."""
     if nx % 128 != 0 or ny % 8 != 0:
         return None
     override = os.environ.get("LBM_PALLAS_BLOCK")
     if override:
         b = int(override)
         return b if (b >= 8 and b % 8 == 0 and ny % b == 0) else None
-    per_row_bytes = 9 * nx * 4 * 2 * 2  # 9 planes, in+out, double-buffered
-    max_b = max(8, _VMEM_BYTES // per_row_bytes)
-    candidates = [
-        b for b in range(8, min(256, ny) + 1, 8) if ny % b == 0 and b <= max_b
-    ]
-    if not candidates:
-        return None
-    return min(candidates, key=lambda b: (abs(b - 32), -b))
+    # Measured on v5e (BENCHMARKS.md): small grids are per-call-overhead
+    # dominated — run them as ONE block; otherwise fine-grained B=8 blocks
+    # pipeline best (1024^2: B=8 ~10,240 MLUPS > B=16 > B=32 > B=64).
+    if 9 * ny * nx * 4 <= 2 * 1024 * 1024 and ny <= 256:
+        return ny
+    return 8
 
 
 def pallas_supported(ny: int, nx: int) -> bool:
