@@ -20,7 +20,6 @@ row-wise over a 1-D device mesh with ``shard_map``:
 from __future__ import annotations
 
 
-import functools
 import time
 
 import jax

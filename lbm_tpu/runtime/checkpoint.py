@@ -8,7 +8,7 @@ prefix, the completed step count, and the params for validation.
 
 from __future__ import annotations
 
-import dataclasses
+
 import os
 import tempfile
 
