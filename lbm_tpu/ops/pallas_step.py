@@ -149,7 +149,6 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     res = []
     for k in range(9):
         if k == 0:
-            cu = None
             feq = ws[k] * rho * common
         else:
             cu = cxs[k] * u_x + cys[k] * u_y if cxs[k] and cys[k] else (
@@ -281,7 +280,7 @@ def lbm_step_pallas(state, nobst, density, accel, omega):
     halo_up)`` carry (the fast path the driver uses via ``init_state``) or a
     bare ``(9, ny, nx)`` cells array (convenience/oracle form — halos built
     on the fly). Returns the same structure it was given plus ``tot_u``."""
-    if isinstance(state, tuple) or isinstance(state, list):
+    if isinstance(state, (tuple, list)):
         return _step_carry(tuple(state), nobst, density, accel, omega)
     new_state, tot_u = _step_carry(_init_state(state), nobst, density, accel, omega)
     return new_state[0], tot_u
@@ -294,7 +293,7 @@ lbm_step_pallas.extract = _extract_cells
 
 def lbm_step_pallas_interpret(state, nobst, density, accel, omega):
     """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
-    if isinstance(state, tuple) or isinstance(state, list):
+    if isinstance(state, (tuple, list)):
         return _step_carry(tuple(state), nobst, density, accel, omega, interpret=True)
     new_state, tot_u = _step_carry(
         _init_state(state), nobst, density, accel, omega, interpret=True

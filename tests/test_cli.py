@@ -84,3 +84,15 @@ def test_cli_checkpoint_resume(tiny_inputs, tmp_path):
          "--resume", "--checkpoint-path", ckpt]
     )
     assert rc == 1
+
+
+def test_cli_mesh_sharded(tiny_inputs, tmp_path):
+    params, obstacles = tiny_inputs
+    out_s = tmp_path / "sharded"
+    out_1 = tmp_path / "single"
+    assert main([params, obstacles, "--backend", "reference", "--out-dir", str(out_1)]) == 0
+    assert main([params, obstacles, "--mesh", "2", "--backend", "reference",
+                 "--out-dir", str(out_s)]) == 0
+    av1 = np.loadtxt(out_1 / "av_vels.dat", usecols=[1], ndmin=1)
+    av2 = np.loadtxt(out_s / "av_vels.dat", usecols=[1], ndmin=1)
+    np.testing.assert_allclose(av1, av2, rtol=1e-5)
