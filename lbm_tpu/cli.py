@@ -151,6 +151,13 @@ def main(argv=None) -> int:
         print(f"lbm_tpu: error: {e}", file=sys.stderr)
         return 1
 
+    # Startup device report — the reference always prints this block
+    # (d2q9-bgk.c:975-981, 1002-1004).
+    from lbm_tpu.runtime.device import format_device_list, format_selected
+
+    print(format_device_list())
+    print(format_selected(device))
+
     try:
         params = read_params(args.paramfile)
         obstacles = read_obstacles(args.obstaclefile, params)
@@ -160,9 +167,6 @@ def main(argv=None) -> int:
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
 
     if args.verbose:
-        from lbm_tpu.runtime.device import format_device_list
-
-        print(format_device_list(), file=sys.stderr)
         print(
             f"[lbm_tpu] grid {params.nx}x{params.ny}, {params.max_iters} iters, "
             f"backend={args.backend}, precision={args.precision}, "

@@ -22,10 +22,16 @@ def list_devices() -> list:
 def format_device_list() -> str:
     """Human-readable device table (the reference's startup printout,
     d2q9-bgk.c:975-981)."""
-    lines = ["Available devices:"]
+    lines = ["", "Available devices:"]
     for i, d in enumerate(list_devices()):
-        lines.append(f"  {i}: {d.device_kind} ({d.platform})")
+        lines.append("%2d: %s (%s)" % (i, d.device_kind, d.platform))
+    lines.append("")
     return "\n".join(lines)
+
+
+def format_selected(device) -> str:
+    """The reference's selection printout (d2q9-bgk.c:1002-1004)."""
+    return "Selected device:\n-> %s (index=%d)\n" % (device.device_kind, device.id)
 
 
 def select_device(index: int | None = None):
