@@ -96,3 +96,12 @@ def test_cli_mesh_sharded(tiny_inputs, tmp_path):
     av1 = np.loadtxt(out_1 / "av_vels.dat", usecols=[1], ndmin=1)
     av2 = np.loadtxt(out_s / "av_vels.dat", usecols=[1], ndmin=1)
     np.testing.assert_allclose(av1, av2, rtol=1e-5)
+
+
+def test_cli_profile_dir(tiny_inputs, tmp_path):
+    params, obstacles = tiny_inputs
+    prof = tmp_path / "trace"
+    rc = main([params, obstacles, "--backend", "reference",
+               "--out-dir", str(tmp_path / "o"), "--profile-dir", str(prof)])
+    assert rc == 0
+    assert prof.exists() and any(prof.rglob("*"))  # trace files written
