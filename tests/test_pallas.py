@@ -52,7 +52,12 @@ def test_supported_shapes():
 
 
 @pytest.mark.parametrize("steps", [1, 5])
-def test_pallas_matches_reference_f32(steps):
+@pytest.mark.parametrize("block", [None, 8, 16])
+def test_pallas_matches_reference_f32(steps, block, monkeypatch):
+    """Both the single-block fast path (block=None → heuristic) and the
+    multi-block path (modular halo-slot index maps) must match the oracle."""
+    if block is not None:
+        monkeypatch.setenv("LBM_PALLAS_BLOCK", str(block))
     params = PARAMS
     obstacles = make_obstacles(params)
     nobst = _prepare_obstacles(obstacles, jnp.float32)
@@ -69,9 +74,10 @@ def test_pallas_matches_reference_f32(steps):
     assert abs(float(t_ref) - float(t_pal)) < 1e-5 * float(t_ref)
 
 
-def test_pallas_accelerate_row_only_owner_block():
+def test_pallas_accelerate_row_only_owner_block(monkeypatch):
     """Acceleration must touch only global row ny-2 even when the lattice has
     several row blocks."""
+    monkeypatch.setenv("LBM_PALLAS_BLOCK", "16")  # force the multi-block path
     params = dataclasses.replace(PARAMS, ny=128)
     obstacles = jnp.zeros((params.ny, params.nx), dtype=jnp.int32)
     nobst = _prepare_obstacles(obstacles, jnp.float32)
@@ -85,9 +91,10 @@ def test_pallas_accelerate_row_only_owner_block():
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-7)
 
 
-def test_pallas_wrap_rows():
+def test_pallas_wrap_rows(monkeypatch):
     """Cross-block and wrap-around y-streaming: put markers on block-boundary
     rows and the global edges, compare against the reference step."""
+    monkeypatch.setenv("LBM_PALLAS_BLOCK", "16")  # force the multi-block path
     params = dataclasses.replace(PARAMS, ny=64)
     obstacles = jnp.zeros((params.ny, params.nx), dtype=jnp.int32)
     nobst = _prepare_obstacles(obstacles, jnp.float32)

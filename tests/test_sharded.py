@@ -98,3 +98,20 @@ def test_sharded_pallas_matches_single_device_pallas(small_params):
     single = run_simulation(p, obs, backend="reference")
     sharded = run_simulation_sharded(p, obs, n_devices=4, backend="pallas")
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+
+
+def test_sharded_pallas_multiblock_per_shard(small_params, monkeypatch):
+    """Multi-block pallas within each shard (modular halo slots) combined
+    with cross-shard ppermute slot exchange."""
+    import dataclasses
+
+    from lbm_tpu.runtime.driver import run_simulation
+
+    monkeypatch.setenv("LBM_PALLAS_BLOCK", "8")
+    p = dataclasses.replace(small_params, nx=128, ny=64, max_iters=3)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[9, 100] = 1
+    single = run_simulation(p, obs, backend="reference")
+    sharded = run_simulation_sharded(p, obs, n_devices=2, backend="pallas")
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
