@@ -203,13 +203,17 @@ def main(argv=None) -> int:
     if args.mesh and args.mesh > 1:
         from lbm_tpu.parallel.sharded import run_simulation_sharded
 
-        result = run_simulation_sharded(
-            params,
-            obstacles,
-            n_devices=args.mesh,
-            backend=args.backend,
-            dtype=dtype,
-        )
+        try:
+            result = run_simulation_sharded(
+                params,
+                obstacles,
+                n_devices=args.mesh,
+                backend=args.backend,
+                dtype=dtype,
+            )
+        except ValueError as e:
+            print(f"lbm_tpu: error: {e}", file=sys.stderr)
+            return 1
     else:
         on_chunk = None
         chunk_every = 0
