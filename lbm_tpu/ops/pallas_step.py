@@ -50,22 +50,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
-def _pick_block(ny: int, nx: int) -> int | None:
-    """Row-block height B (must divide ny; multiples of the f32 sublane
-    tile). Returns None for shapes the kernel can't tile (caller falls back
-    to the jnp step). ``LBM_PALLAS_BLOCK`` overrides for sweeps."""
-    if nx % 128 != 0 or ny % 8 != 0:
+def _pick_block(ny: int, nx: int, dtype=jnp.float32) -> int | None:
+    """Row-block height B (must divide ny; multiples of the sublane tile —
+    8 for f32 storage, 16 for bf16). Returns None for shapes the kernel
+    can't tile (caller falls back to the jnp step). ``LBM_PALLAS_BLOCK``
+    overrides for sweeps."""
+    tile = 16 if dtype == jnp.bfloat16 else 8
+    if nx % 128 != 0 or ny % tile != 0:
         return None
     override = os.environ.get("LBM_PALLAS_BLOCK")
     if override:
         b = int(override)
-        return b if (b >= 8 and b % 8 == 0 and ny % b == 0) else None
+        return b if (b >= tile and b % tile == 0 and ny % b == 0) else None
     # Measured on v5e (BENCHMARKS.md): small grids are per-call-overhead
-    # dominated — run them as ONE block; otherwise fine-grained B=8 blocks
+    # dominated — run them as ONE block; otherwise fine-grained blocks
     # pipeline best (1024^2: B=8 ~10,240 MLUPS > B=16 > B=32 > B=64).
     if 9 * ny * nx * 4 <= 2 * 1024 * 1024 and ny <= 256:
         return ny
-    return 8
+    return tile
 
 
 def pallas_supported(ny: int, nx: int) -> bool:
@@ -74,17 +76,20 @@ def pallas_supported(ny: int, nx: int) -> bool:
 
 def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
             out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref,
-            *, block: int, nblk: int, w1a: float, w2a: float, omega: float):
+            *, block: int, nblk: int, w1a: float, w2a: float, omega: float,
+            out_dtype=jnp.float32):
     """One row-block of the fused step. See module docstring for the layout.
 
     w1a/w2a are the accelerate weights density*accel/9 and /36
     (kernels.cl:17-18); omega the BGK relaxation rate.
     """
     i = pl.program_id(0)
-    nobst = nobst_ref[...]
+    # Storage may be bf16 (the opt-in halved-bandwidth mode); all arithmetic
+    # is f32 in-kernel regardless.
+    nobst = nobst_ref[...].astype(jnp.float32)
     obst = 1.0 - nobst
 
-    m = [cells_ref[k] for k in range(9)]
+    m = [cells_ref[k].astype(jnp.float32) for k in range(9)]
 
     # --- fused accelerate_flow (kernels.cl:21-41) on the owning block ------
     # owner_ref is 1.0 only on the shard holding global row ny-2 (always 1.0
@@ -120,15 +125,17 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     # halo_up_ref block (i+1)'s FIRST row of planes [4,7,8] (index maps do
     # the modular neighbor selection) — produced as side outputs of the
     # previous timestep's kernel, so no gather pass is needed per step.
+    hd = halo_dn_ref[0].astype(jnp.float32)
+    hu = halo_up_ref[0].astype(jnp.float32)
     t0 = m[0]
     t1 = east(m[1])
-    t2 = down(m[2], halo_dn_ref[0, 0:1])
+    t2 = down(m[2], hd[0:1])
     t3 = west(m[3])
-    t4 = up(m[4], halo_up_ref[0, 0:1])
-    t5 = east(down(m[5], halo_dn_ref[0, 1:2]))
-    t6 = west(down(m[6], halo_dn_ref[0, 2:3]))
-    t7 = west(up(m[7], halo_up_ref[0, 1:2]))
-    t8 = east(up(m[8], halo_up_ref[0, 2:3]))
+    t4 = up(m[4], hu[0:1])
+    t5 = east(down(m[5], hd[1:2]))
+    t6 = west(down(m[6], hd[2:3]))
+    t7 = west(up(m[7], hu[1:2]))
+    t8 = east(up(m[8], hu[2:3]))
     t = [t0, t1, t2, t3, t4, t5, t6, t7, t8]
 
     # --- moments (kernels.cl:109-134) --------------------------------------
@@ -157,7 +164,7 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
             feq = ws[k] * rho * (common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ)))
         relaxed = t[k] + omega * (feq - t[k])
         # Obstacle-masked blend with the bounce-back value (kernels.cl:179-196).
-        val = nobst * relaxed + obst * t[opp[k]]
+        val = (nobst * relaxed + obst * t[opp[k]]).astype(out_dtype)
         out_ref[k] = val
         res.append(val)
 
@@ -177,10 +184,12 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
+def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="float32"):
+    dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     kern = functools.partial(
-        _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega
+        _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
+        out_dtype=dtype,
     )
     return pl.pallas_call(
         kern,
@@ -204,9 +213,9 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret):
             pl.BlockSpec((nblk, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 3, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 3, nx), jnp.float32),
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 3, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 3, nx), dtype),
             jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
         ],
         compiler_params=None
@@ -233,8 +242,10 @@ def make_halos(cells, block):
 
 def _prepare_obstacles(obstacles, dtype):
     """Precompute the float not-obstacle plane once per run (the kernel's
-    arithmetic masking form, kernels.cl:85-86)."""
-    del dtype  # kernel is f32-only
+    arithmetic masking form, kernels.cl:85-86). Stored at the state dtype
+    (0/1 are exact in bf16) so the mask stream shares the bandwidth saving."""
+    if dtype == jnp.bfloat16:
+        return (obstacles == 0).astype(jnp.bfloat16)
     return (obstacles == 0).astype(jnp.float32)
 
 
@@ -248,7 +259,7 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=N
     """
     cells, halo_dn, halo_up = state
     _, ny, nx = cells.shape
-    block = _pick_block(ny, nx)
+    block = _pick_block(ny, nx, cells.dtype)
     if block is None:
         raise ValueError(f"grid {ny}x{nx} unsupported by the pallas kernel")
     call = _make_pallas_call(
@@ -257,6 +268,7 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=N
         float(density * accel / 36.0),
         float(omega),
         bool(interpret),
+        dtype_name=cells.dtype.name,
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)
@@ -265,8 +277,9 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=N
 
 
 def _init_state(cells):
-    block = _pick_block(cells.shape[1], cells.shape[2])
-    cells = cells.astype(jnp.float32)
+    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+        cells = cells.astype(jnp.float32)
+    block = _pick_block(cells.shape[1], cells.shape[2], cells.dtype)
     halo_dn, halo_up = make_halos(cells, block)
     return cells, halo_dn, halo_up
 

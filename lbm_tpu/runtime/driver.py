@@ -95,7 +95,9 @@ def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
     donate_argnums=(0,),
 )
 def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, step_fn):
-    av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+    # The mean-velocity series stays f32 even under bf16 storage.
+    av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+    av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
     # Step implementations may preprocess the obstacle mask once, outside the
     # loop (e.g. the pallas kernel wants a float "not-obstacle" plane), and
     # may carry extra state across steps (e.g. kernel-maintained halo rows).
@@ -151,7 +153,8 @@ def run_simulation(
         cells = jax.device_put(cells, device)
         obstacles_dev = jax.device_put(obstacles_dev, device)
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))  # d2q9-bgk.c:146-152
-    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
+    inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
     def lower_chunk(cells, n_iters):
         return _run_loop.lower(

@@ -127,3 +127,22 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_pallas_bf16_storage_mode():
+    """Opt-in bf16 storage: f32 arithmetic in-kernel, halved HBM traffic.
+    Coarse agreement with the f32 path (bf16 has an 8-bit mantissa)."""
+    params = dataclasses.replace(PARAMS, ny=64)
+    obstacles = make_obstacles(params)
+    state32 = make_state(params)
+    state16 = state32.astype(jnp.bfloat16)
+    nob32 = _prepare_obstacles(obstacles, jnp.float32)
+    nob16 = _prepare_obstacles(obstacles, jnp.bfloat16)
+    c32, c16 = state32, state16
+    for _ in range(3):
+        c32, t32 = lbm_step_pallas_interpret(c32, nob32, PARAMS.density, PARAMS.accel, PARAMS.omega)
+        c16, t16 = lbm_step_pallas_interpret(c16, nob16, PARAMS.density, PARAMS.accel, PARAMS.omega)
+    assert c16.dtype == jnp.bfloat16
+    rel = float(jnp.max(jnp.abs(c32 - c16.astype(jnp.float32)))) / float(jnp.max(jnp.abs(c32)))
+    assert rel < 0.03
+    assert abs(float(t32) - float(t16)) / float(t32) < 0.05
