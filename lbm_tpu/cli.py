@@ -53,10 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mesh",
-        type=int,
-        default=0,
-        metavar="N",
-        help="shard the lattice over N devices (0 = single device)",
+        default="0",
+        metavar="N|PYxPX",
+        help="shard the lattice over N devices (1-D row mesh), or a 2-D "
+        "PYxPX mesh like 2x4 (0 = single device)",
     )
     p.add_argument("--out-dir", default=".", help="directory for output .dat files")
     p.add_argument(
@@ -205,15 +205,41 @@ def main(argv=None) -> int:
     if profiling:
         jax.profiler.start_trace(args.profile_dir)
 
+    mesh_2d = None
+    mesh_n = 0
+    if "x" in args.mesh:
+        try:
+            py, px = (int(v) for v in args.mesh.split("x"))
+        except ValueError:
+            print(f"lbm_tpu: error: bad --mesh {args.mesh!r}", file=sys.stderr)
+            return 1
+        mesh_2d = (py, px)
+    else:
+        try:
+            mesh_n = int(args.mesh)
+        except ValueError:
+            print(f"lbm_tpu: error: bad --mesh {args.mesh!r}", file=sys.stderr)
+            return 1
+
     tic = time.time()
-    if args.mesh and args.mesh > 1:
+    if mesh_2d is not None:
+        from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+        try:
+            result = run_simulation_sharded_2d(
+                params, obstacles, mesh_shape=mesh_2d, dtype=dtype
+            )
+        except ValueError as e:
+            print(f"lbm_tpu: error: {e}", file=sys.stderr)
+            return 1
+    elif mesh_n > 1:
         from lbm_tpu.parallel.sharded import run_simulation_sharded
 
         try:
             result = run_simulation_sharded(
                 params,
                 obstacles,
-                n_devices=args.mesh,
+                n_devices=mesh_n,
                 backend=args.backend,
                 dtype=dtype,
             )

@@ -136,6 +136,172 @@ def lbm_step_sharded(cells, obstacles, density, accel, omega, ny_global):
     return new_cells, jax.lax.psum(tot_u_local, AXIS)
 
 
+AXIS_X = "x"
+
+
+def make_mesh_2d(py: int, px: int, devices=None) -> Mesh:
+    """A 2-D ``(y, x)`` mesh: rows sharded over ``py`` devices, columns over
+    ``px`` (SURVEY.md §7.6: the 8192^2 weak-scaling layout)."""
+    if devices is None:
+        devices = jax.devices()
+    if py * px > len(devices):
+        raise ValueError(f"requested {py}x{px} mesh, only {len(devices)} devices")
+    return Mesh(np.asarray(devices[: py * px]).reshape(py, px), (AXIS, AXIS_X))
+
+
+def _exchange_cols(planes_cols, direction: int):
+    """ppermute a stacked ``(k, ny_local, 1)`` set of boundary columns one
+    step around the x-ring."""
+    n = jax.lax.axis_size(AXIS_X)
+    perm = [(i, (i + direction) % n) for i in range(n)]
+    return jax.lax.ppermute(planes_cols, AXIS_X, perm)
+
+
+def _stream_local_2d(cells):
+    """Streaming on a 2-D mesh: phase 1 exchanges one boundary COLUMN per
+    x-direction and applies the x-shifts; phase 2 exchanges one boundary ROW
+    of the already-x-shifted planes per y-direction. Corner values arrive
+    correctly because the y-halo rows are taken from neighbors' x-shifted
+    planes (whose edge columns already hold their x-neighbors' data — i.e.
+    our diagonal neighbors')."""
+    # Phase 1: x-shifts. Planes 1,5,8 pull from x-1 (need left neighbor's
+    # last column); planes 3,6,7 pull from x+1 (right neighbor's first col).
+    east_cols = jnp.stack([cells[k][:, -1:] for k in (1, 5, 8)])
+    east_halo = _exchange_cols(east_cols, +1)  # from left neighbor
+    west_cols = jnp.stack([cells[k][:, :1] for k in (3, 6, 7)])
+    west_halo = _exchange_cols(west_cols, -1)  # from right neighbor
+
+    def shift_east(p, halo):  # tmp[., x] = p[., x-1]
+        return jnp.concatenate([halo, p[:, :-1]], axis=1)
+
+    def shift_west(p, halo):  # tmp[., x] = p[., x+1]
+        return jnp.concatenate([p[:, 1:], halo], axis=1)
+
+    xs = {
+        0: cells[0],
+        1: shift_east(cells[1], east_halo[0]),
+        2: cells[2],
+        3: shift_west(cells[3], west_halo[0]),
+        4: cells[4],
+        5: shift_east(cells[5], east_halo[1]),
+        6: shift_west(cells[6], west_halo[1]),
+        7: shift_west(cells[7], west_halo[2]),
+        8: shift_east(cells[8], east_halo[2]),
+    }
+
+    # Phase 2: y-shifts of the x-shifted planes (same as the 1-D path).
+    south = jnp.stack([xs[2][-1:], xs[5][-1:], xs[6][-1:]])
+    south_halo = _exchange_halos(south, +1)
+    north = jnp.stack([xs[4][:1], xs[7][:1], xs[8][:1]])
+    north_halo = _exchange_halos(north, -1)
+
+    def shift_down(p, halo):
+        return jnp.concatenate([halo, p[:-1]], axis=0)
+
+    def shift_up(p, halo):
+        return jnp.concatenate([p[1:], halo], axis=0)
+
+    return jnp.stack(
+        [
+            xs[0],
+            xs[1],
+            shift_down(xs[2], south_halo[0]),
+            xs[3],
+            shift_up(xs[4], north_halo[0]),
+            shift_down(xs[5], south_halo[1]),
+            shift_down(xs[6], south_halo[2]),
+            shift_up(xs[7], north_halo[1]),
+            shift_up(xs[8], north_halo[2]),
+        ]
+    )
+
+
+def lbm_step_sharded_2d(cells, obstacles, density, accel, omega, ny_global):
+    """One timestep of the local shard on a 2-D ``(y, x)`` mesh."""
+    cells = _accelerate_local(cells, obstacles, density, accel, ny_global)
+    streamed = _stream_local_2d(cells)
+    new_cells, tot_u_local = collide(streamed, obstacles, omega)
+    return new_cells, jax.lax.psum(jax.lax.psum(tot_u_local, AXIS), AXIS_X)
+
+
+def build_sharded_loop_2d(mesh: Mesh, params: LBMParams):
+    """The jitted 2-D-mesh run (jnp step; the fused kernel per shard is the
+    1-D path's specialty — on a 2-D mesh the x-wrap is no longer a local
+    lane roll)."""
+    ny_global = params.ny
+    density = float(params.density)
+    accel = float(params.accel)
+    omega = float(params.omega)
+    n_iters = params.max_iters
+
+    def local_loop(cells, obstacles, inv_tot_cells):
+        av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+
+        def body(tt, carry):
+            cells, av_vels = carry
+            cells, tot_u = lbm_step_sharded_2d(
+                cells, obstacles, density, accel, omega, ny_global
+            )
+            av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
+            return cells, av_vels
+
+        return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+
+    shard = P(None, AXIS, AXIS_X)
+    mapped = jax.shard_map(
+        local_loop,
+        mesh=mesh,
+        in_specs=(shard, P(AXIS, AXIS_X), P()),
+        out_specs=(shard, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def run_simulation_sharded_2d(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    *,
+    mesh_shape: tuple[int, int],
+    dtype=jnp.float32,
+):
+    """Run the full simulation over a 2-D ``(py, px)`` device mesh."""
+    py, px = mesh_shape
+    mesh = make_mesh_2d(py, px)
+    if params.ny % py != 0 or params.nx % px != 0:
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} not divisible by mesh {py}x{px}"
+        )
+
+    from lbm_tpu.runtime.driver import SimulationResult, sync
+
+    cells_sharding = NamedSharding(mesh, P(None, AXIS, AXIS_X))
+    obst_sharding = NamedSharding(mesh, P(AXIS, AXIS_X))
+    cells = jax.device_put(D2Q9.initial_state(params, dtype=dtype), cells_sharding)
+    obstacles_dev = jax.device_put(
+        jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
+    )
+    tot_cells = int(np.sum(np.asarray(obstacles) == 0))
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
+
+    loop = build_sharded_loop_2d(mesh, params)
+    t0 = time.perf_counter()
+    compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cells, av_vels = compiled(cells, obstacles_dev, inv_tot_cells)
+    sync(cells)
+    elapsed = time.perf_counter() - t0
+
+    return SimulationResult(
+        cells=np.asarray(cells),
+        av_vels=np.asarray(av_vels),
+        elapsed=elapsed,
+        compile_time=compile_time,
+    )
+
+
 def make_sharded_pallas_step(interpret: bool = False):
     """The fused Pallas kernel as the per-shard step (runs inside shard_map).
 

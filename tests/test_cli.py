@@ -105,3 +105,11 @@ def test_cli_profile_dir(tiny_inputs, tmp_path):
                "--out-dir", str(tmp_path / "o"), "--profile-dir", str(prof)])
     assert rc == 0
     assert prof.exists() and any(prof.rglob("*"))  # trace files written
+
+
+def test_cli_mesh_2d(tiny_inputs, tmp_path):
+    params, obstacles = tiny_inputs
+    out = tmp_path / "m2d"
+    assert main([params, obstacles, "--mesh", "2x2", "--out-dir", str(out)]) == 0
+    assert (out / "av_vels.dat").exists()
+    assert main([params, obstacles, "--mesh", "bogus", "--out-dir", str(out)]) == 1

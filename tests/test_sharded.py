@@ -115,3 +115,28 @@ def test_sharded_pallas_multiblock_per_shard(small_params, monkeypatch):
     single = run_simulation(p, obs, backend="reference")
     sharded = run_simulation_sharded(p, obs, n_devices=2, backend="pallas")
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 2), (2, 4), (1, 8)])
+def test_sharded_2d_matches_single_device(mesh_shape, small_params, small_obstacles):
+    """2-D (rows x cols) decomposition with two-phase halo exchange agrees
+    with the single-device run, including diagonal (corner) streaming."""
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    single = run_simulation(
+        small_params, small_obstacles, backend="reference", dtype=jnp.float64
+    )
+    sharded = run_simulation_sharded_2d(
+        small_params, small_obstacles, mesh_shape=mesh_shape, dtype=jnp.float64
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, rtol=1e-11)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-10)
+
+
+def test_sharded_2d_indivisible_rejected(small_params, small_obstacles):
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    with pytest.raises(ValueError):
+        run_simulation_sharded_2d(
+            small_params, small_obstacles, mesh_shape=(2, 5)
+        )
