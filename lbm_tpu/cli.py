@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)",
     )
     p.add_argument(
+        "--stats-json",
+        default=None,
+        metavar="PATH",
+        help="write run metrics (MLUPS, timings, Reynolds, config) as JSON",
+    )
+    p.add_argument(
         "--verbose", "-v", action="store_true", help="log configuration and timings"
     )
     return p
@@ -299,6 +305,27 @@ def main(argv=None) -> int:
             f"({result.mlups(params):.1f} MLUPS), compile {result.compile_time:.3f} s",
             file=sys.stderr,
         )
+
+    if args.stats_json:
+        import json
+
+        stats = {
+            "nx": params.nx,
+            "ny": params.ny,
+            "max_iters": params.max_iters,
+            "backend": args.backend,
+            "precision": args.precision,
+            "mesh": args.mesh,
+            "device": f"{device.device_kind} ({device.platform})",
+            "elapsed_wall_s": toc - tic,
+            "loop_s": result.elapsed,
+            "compile_s": result.compile_time,
+            "mlups": result.mlups(params),
+            "reynolds": result.reynolds(params, obstacles),
+        }
+        with open(args.stats_json, "w") as f:
+            json.dump(stats, f, indent=2)
+            f.write("\n")
 
     os.makedirs(args.out_dir, exist_ok=True)
     write_final_state(

@@ -113,3 +113,16 @@ def test_cli_mesh_2d(tiny_inputs, tmp_path):
     assert main([params, obstacles, "--mesh", "2x2", "--out-dir", str(out)]) == 0
     assert (out / "av_vels.dat").exists()
     assert main([params, obstacles, "--mesh", "bogus", "--out-dir", str(out)]) == 1
+
+
+def test_cli_stats_json(tiny_inputs, tmp_path):
+    import json
+
+    params, obstacles = tiny_inputs
+    stats = tmp_path / "stats.json"
+    rc = main([params, obstacles, "--backend", "reference",
+               "--out-dir", str(tmp_path / "o"), "--stats-json", str(stats)])
+    assert rc == 0
+    data = json.loads(stats.read_text())
+    assert data["nx"] == 16 and data["max_iters"] == 8
+    assert data["mlups"] > 0 and "reynolds" in data
