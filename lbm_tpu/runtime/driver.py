@@ -70,20 +70,29 @@ def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
     if backend == "reference":
         return lbm_step_reference, "reference"
     try:
-        from lbm_tpu.ops.pallas_step import lbm_step_pallas, pallas_supported
+        from lbm_tpu.ops.pallas_step import (
+            lbm_step_pallas,
+            lbm_step_pallas_interpret,
+            pallas_supported,
+        )
     except ImportError:
         if backend == "pallas":
             raise
         return lbm_step_reference, "reference"
     fits = pallas_supported(params.ny, params.nx)
+    on_tpu = jax.devices()[0].platform == "tpu"
     if backend == "pallas":
         if not fits:
             raise ValueError(
                 f"grid {params.ny}x{params.nx} does not fit the pallas kernel's "
                 "tiling constraints"
             )
-        return lbm_step_pallas, "pallas"
-    on_tpu = jax.devices()[0].platform == "tpu"
+        # Off-TPU, an explicit pallas request runs the interpreter (slow but
+        # exact) rather than failing to Mosaic-compile.
+        return (lbm_step_pallas, "pallas") if on_tpu else (
+            lbm_step_pallas_interpret,
+            "pallas-interpret",
+        )
     if on_tpu and fits:
         return lbm_step_pallas, "pallas"
     return lbm_step_reference, "reference"

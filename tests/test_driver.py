@@ -126,3 +126,19 @@ def test_backend_auto_fallback_nonaligned():
     assert name == "reference"
     with pytest.raises(ValueError):
         select_step_fn(p, "pallas")
+
+
+def test_backend_pallas_on_cpu_runs_interpreter(small_params):
+    """Explicit --backend pallas off-TPU uses the interpreter, not a failed
+    Mosaic compile; results match the reference step."""
+    import dataclasses
+
+    import numpy as np
+
+    p = dataclasses.replace(small_params, nx=128, ny=16, max_iters=3)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = 1
+    ref = run_simulation(p, obs, backend="reference")
+    pal = run_simulation(p, obs, backend="pallas")
+    np.testing.assert_allclose(pal.cells, ref.cells, atol=3e-7)
+    np.testing.assert_allclose(pal.av_vels, ref.av_vels, rtol=1e-5)
