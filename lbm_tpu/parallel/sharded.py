@@ -360,19 +360,20 @@ def _exchange_boundary_slots(dn, up):
     return dn.at[nblk - 1 : nblk].set(dn_recv), up.at[0:1].set(up_recv)
 
 
-def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None):
+def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None):
     """The full jitted multi-device run: cells and obstacles sharded row-wise,
     the whole ``fori_loop`` inside one shard_map, av_vels replicated.
 
     ``step_fn`` operates on the local shard and may expose the driver's
     prepare/init_state/extract protocol (the sharded pallas step does);
-    default is the jnp reference step.
+    default is the jnp reference step. ``n_iters`` overrides
+    ``params.max_iters`` (checkpoint chunking).
     """
     ny_global = params.ny
     density = float(params.density)
     accel = float(params.accel)
     omega = float(params.omega)
-    n_iters = params.max_iters
+    n_iters = params.max_iters if n_iters is None else n_iters
 
     if step_fn is None:
         def step_fn(cells, obstacles, d, a, o):  # noqa: ANN001
@@ -417,11 +418,17 @@ def run_simulation_sharded(
     obstacles: np.ndarray,
     *,
     n_devices: int | None = None,
-    backend: str = "auto",  # reserved: per-shard pallas kernel
+    backend: str = "auto",
     dtype=jnp.float32,
+    initial_cells: np.ndarray | None = None,
+    start_step: int = 0,
+    av_vels_prefix: np.ndarray | None = None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
 ):
     """Run the full simulation over a device mesh. Requires ``ny`` divisible
-    by the number of devices."""
+    by the number of devices. Checkpoint/resume mirrors the single-device
+    driver (chunked loop; resumable state gathered to host per snapshot)."""
     mesh = make_mesh(n_devices)
     n = mesh.devices.size
     if params.ny % n != 0:
@@ -446,31 +453,63 @@ def run_simulation_sharded(
     cells_sharding = NamedSharding(mesh, P(None, AXIS, None))
     obst_sharding = NamedSharding(mesh, P(AXIS, None))
 
-    cells = jax.device_put(D2Q9.initial_state(params, dtype=dtype), cells_sharding)
+    if initial_cells is None:
+        host_cells = D2Q9.initial_state(params, dtype=dtype)
+    else:
+        host_cells = jnp.asarray(initial_cells, dtype=dtype)
+    cells = jax.device_put(host_cells, cells_sharding)
     obstacles_dev = jax.device_put(
         jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
     )
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))
-    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
+    inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
-    from lbm_tpu.runtime.driver import sync
+    from lbm_tpu.runtime.driver import SimulationResult, sync
 
-    loop = build_sharded_loop(mesh, params, step_fn=step_fn)
+    remaining = params.max_iters - start_step
+    if remaining <= 0:
+        raise ValueError("start_step is beyond max_iters")
+    av_chunks = [] if av_vels_prefix is None else [np.asarray(av_vels_prefix)]
+
+    if checkpoint_every and checkpoint_every > 0:
+        chunk_sizes = []
+        step = start_step
+        while step < params.max_iters:
+            chunk_sizes.append(min(checkpoint_every, params.max_iters - step))
+            step += chunk_sizes[-1]
+    else:
+        chunk_sizes = [remaining]
 
     t0 = time.perf_counter()
-    compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
+    compiled = {
+        n: build_sharded_loop(mesh, params, step_fn=step_fn, n_iters=n)
+        .lower(cells, obstacles_dev, inv_tot_cells)
+        .compile()
+        for n in sorted(set(chunk_sizes))
+    }
     compile_time = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    cells, av_vels = compiled(cells, obstacles_dev, inv_tot_cells)
-    sync(cells)
-    elapsed = time.perf_counter() - t0
+    elapsed = 0.0
+    step = start_step
+    for n_chunk in chunk_sizes:
+        t0 = time.perf_counter()
+        cells, av = compiled[n_chunk](cells, obstacles_dev, inv_tot_cells)
+        sync(cells)
+        elapsed += time.perf_counter() - t0
+        av_chunks.append(np.asarray(av))
+        step += n_chunk
+        if checkpoint_path is not None and checkpoint_every:
+            from lbm_tpu.runtime.checkpoint import save_checkpoint
 
-    from lbm_tpu.runtime.driver import SimulationResult
+            save_checkpoint(
+                checkpoint_path, params, np.asarray(cells),
+                np.concatenate(av_chunks), step,
+            )
 
     return SimulationResult(
         cells=np.asarray(cells),
-        av_vels=np.asarray(av_vels),
+        av_vels=np.concatenate(av_chunks),
         elapsed=elapsed,
         compile_time=compile_time,
     )

@@ -140,3 +140,33 @@ def test_sharded_2d_indivisible_rejected(small_params, small_obstacles):
         run_simulation_sharded_2d(
             small_params, small_obstacles, mesh_shape=(2, 5)
         )
+
+
+def test_sharded_checkpoint_resume(tmp_path, small_params, small_obstacles):
+    """Checkpointed + resumed sharded run reproduces the uninterrupted one."""
+    from lbm_tpu.runtime.checkpoint import load_checkpoint
+
+    full = run_simulation_sharded(
+        small_params, small_obstacles, n_devices=2, dtype=jnp.float64
+    )
+    path = tmp_path / "ck.npz"
+    run_simulation_sharded(
+        small_params, small_obstacles, n_devices=2, dtype=jnp.float64,
+        checkpoint_every=7, checkpoint_path=str(path),
+    )
+    cells, av, step = load_checkpoint(path, small_params)
+    assert step == small_params.max_iters
+    np.testing.assert_allclose(cells, full.cells, rtol=1e-11)
+    # Resume from a 7-step prefix.
+    import dataclasses
+
+    first7 = run_simulation_sharded(
+        dataclasses.replace(small_params, max_iters=7),
+        small_obstacles, n_devices=2, dtype=jnp.float64,
+    )
+    resumed = run_simulation_sharded(
+        small_params, small_obstacles, n_devices=2, dtype=jnp.float64,
+        initial_cells=first7.cells, start_step=7, av_vels_prefix=first7.av_vels,
+    )
+    np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=1e-11)
+    np.testing.assert_allclose(resumed.cells, full.cells, rtol=1e-11)
