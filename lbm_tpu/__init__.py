@@ -38,3 +38,7 @@ __all__ = [
     "run_simulation",
     "__version__",
 ]
+
+from lbm_tpu.api import Simulation  # noqa: E402
+
+__all__.append("Simulation")

@@ -1,0 +1,42 @@
+"""High-level Simulation API tests."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.api import Simulation
+from lbm_tpu.utils.geometry import box
+
+
+def test_simulation_roundtrip(small_params, small_obstacles, tmp_path):
+    sim = Simulation(small_params, small_obstacles)
+    result = sim.run(backend="reference")
+    assert result.av_vels.shape == (small_params.max_iters,)
+    re = sim.reynolds(result)
+    assert np.isfinite(re) and re > 0
+    u_x, u_y, speed, pressure = sim.velocity_field(result)
+    assert speed.shape == (small_params.ny, small_params.nx)
+    sim.write_outputs(result, out_dir=tmp_path)
+    assert (tmp_path / "final_state.dat").exists()
+    assert (tmp_path / "av_vels.dat").exists()
+
+
+def test_simulation_from_files():
+    sim = Simulation.from_files(
+        "/root/reference/input_128x128.params",
+        "/root/reference/obstacles_128x128.dat",
+    )
+    assert sim.params.nx == 128 and sim.obstacles.sum() == 4 * 128 - 4
+
+
+def test_simulation_mesh_variants(small_params, small_obstacles):
+    sim = Simulation(small_params, small_obstacles)
+    single = sim.run(backend="reference")
+    mesh1d = sim.run(backend="reference", mesh=2)
+    mesh2d = sim.run(mesh=(2, 2))
+    np.testing.assert_allclose(mesh1d.av_vels, single.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(mesh2d.av_vels, single.av_vels, rtol=1e-5)
+
+
+def test_simulation_shape_mismatch(small_params):
+    with pytest.raises(ValueError):
+        Simulation(small_params, box(8, 8))
