@@ -27,7 +27,6 @@ import resource
 import sys
 import time
 
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -14,7 +14,12 @@ row-wise over a 1-D device mesh with ``shard_map``:
   the ring topology for free;
 - the per-step mean-velocity reduction is a ``lax.psum``;
 - the whole timestep loop stays inside one jitted ``shard_map``, so halo
-  exchange compiles to XLA collective-permutes with no host involvement.
+  exchange compiles to XLA collective-permutes with no host involvement;
+- the fused Pallas kernel runs per shard (``make_sharded_pallas_step``) with
+  its kernel-maintained halo slots ppermuted across shard boundaries;
+- a 2-D rows x cols mesh (``run_simulation_sharded_2d``) uses a two-phase
+  column-then-row exchange that delivers corner values without explicit
+  diagonal messages.
 """
 
 from __future__ import annotations

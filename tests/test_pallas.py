@@ -1,7 +1,8 @@
 """Fused Pallas kernel vs the jnp reference step (interpret mode on CPU).
 
-The kernel is f32-only; agreement with the f32 jnp step is required at
-ulp-level (same arithmetic, different schedule), per SURVEY.md §7.4.
+The default storage/arithmetic is f32; agreement with the f32 jnp step is
+required at ulp-level (same arithmetic, different schedule), per SURVEY.md
+§7.4. The opt-in bf16 storage mode is checked for coarse agreement.
 """
 
 import dataclasses
