@@ -1,9 +1,11 @@
 """Checkpoint / resume.
 
 The reference has no resumable state (its only artifact, final_state.dat,
-stores moments — not the 9 distributions). Here a checkpoint is a single
-``.npz`` holding the full ``(9, ny, nx)`` distribution state, the av_vels
-prefix, the completed step count, and the params for validation.
+stores moments — not the 9 distributions). Here a checkpoint is either a
+single ``.npz`` (default — atomic, dependency-free) or an orbax checkpoint
+directory (``format="orbax"`` — the TPU-ecosystem standard, async-capable),
+holding the full ``(9, ny, nx)`` distribution state, the av_vels prefix, the
+completed step count, and the params for validation.
 """
 
 from __future__ import annotations
@@ -77,3 +79,53 @@ def load_checkpoint(path, params: LBMParams):
                 f"{[float(v) for v in expect]}"
             )
         return data["cells"], data["av_vels"], int(data["step"])
+
+
+def _params_list(params: LBMParams):
+    return [
+        params.nx,
+        params.ny,
+        params.max_iters,
+        params.reynolds_dim,
+        params.density,
+        params.accel,
+        params.omega,
+    ]
+
+
+def save_checkpoint_orbax(path, params: LBMParams, cells, av_vels, step: int) -> None:
+    """Orbax-backed snapshot (a checkpoint DIRECTORY at ``path``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.fspath(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = {
+            "version": np.int64(_FORMAT_VERSION),
+            "cells": np.asarray(cells),
+            "av_vels": np.asarray(av_vels),
+            "step": np.int64(step),
+            "params": np.array(_params_list(params), dtype=np.float64),
+        }
+        ckptr.save(path, tree, force=True)
+
+
+def load_checkpoint_orbax(path, params: LBMParams):
+    """Load an orbax checkpoint directory, validating against ``params``.
+
+    Returns ``(cells, av_vels, step)``.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.fspath(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    if int(tree["version"]) != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {int(tree['version'])}")
+    saved = np.asarray(tree["params"])
+    expect = np.array(_params_list(params), dtype=np.float64)
+    if not np.allclose(saved, expect):
+        raise ValueError(
+            f"checkpoint params {saved.tolist()} do not match run params "
+            f"{expect.tolist()}"
+        )
+    return np.asarray(tree["cells"]), np.asarray(tree["av_vels"]), int(tree["step"])

@@ -142,3 +142,23 @@ def test_backend_pallas_on_cpu_runs_interpreter(small_params):
     pal = run_simulation(p, obs, backend="pallas")
     np.testing.assert_allclose(pal.cells, ref.cells, atol=3e-7)
     np.testing.assert_allclose(pal.av_vels, ref.av_vels, rtol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, small_params):
+    pytest.importorskip("orbax.checkpoint")
+    from lbm_tpu.runtime.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cells = oracle.initial_state(small_params)
+    av = np.arange(5, dtype=np.float64)
+    path = tmp_path / "orbax_ckpt"
+    save_checkpoint_orbax(path, small_params, cells, av, 5)
+    got_cells, got_av, step = load_checkpoint_orbax(path, small_params)
+    np.testing.assert_array_equal(got_cells, cells)
+    np.testing.assert_array_equal(got_av, av)
+    assert step == 5
+    bad = dataclasses.replace(small_params, density=0.2)
+    with pytest.raises(ValueError):
+        load_checkpoint_orbax(path, bad)
