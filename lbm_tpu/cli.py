@@ -38,9 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("obstaclefile", help="obstacle list file ('x y 1' per line)")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "reference"],
+        choices=["auto", "pallas", "resident", "reference"],
         default="auto",
-        help="step implementation: fused Pallas TPU kernel, jnp reference, or auto",
+        help="step implementation: block-streaming Pallas kernel, VMEM-resident "
+        "multi-step kernel (grids that fit on-chip), jnp reference, or auto",
     )
     p.add_argument(
         "--precision",

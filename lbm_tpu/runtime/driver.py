@@ -58,13 +58,39 @@ class SimulationResult:
         return params.reynolds(av)
 
 
+def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the VMEM-resident multi-step kernel.
+
+    Returns None (don't), or the ``interpret`` flag to run it with.
+    ``auto`` uses it on TPU for grids whose state fits VMEM (it is strictly
+    faster there: HBM is touched twice per 256 steps instead of per step);
+    ``resident`` forces it (interpreter off-TPU).
+    """
+    if backend not in ("auto", "resident"):
+        return None
+    from lbm_tpu.ops.pallas_resident import resident_supported
+
+    fits = resident_supported(params.ny, params.nx, dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "resident":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} (dtype {jnp.dtype(dtype).name}) "
+                "does not fit the VMEM-resident kernel"
+            )
+        return not on_tpu
+    return False if (fits and on_tpu) else None
+
+
 def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
-    """Resolve the step implementation.
+    """Resolve the per-step implementation (non-resident paths).
 
     ``pallas`` — the fused TPU kernel; ``reference`` — the jnp oracle;
     ``auto`` — pallas on TPU when the grid shape fits its tiling
     constraints, reference otherwise.
     """
+    if backend == "resident":
+        raise ValueError("resident backend is handled by select_resident")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend == "reference":
@@ -127,6 +153,22 @@ def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, s
     return cells, av_vels
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret"),
+    donate_argnums=(0,),
+)
+def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, interpret):
+    from lbm_tpu.ops.pallas_resident import run_resident
+
+    nobst = (obstacles == 0).astype(jnp.float32)
+    cells, tot_u = run_resident(
+        cells.astype(jnp.float32), nobst, density, accel, omega, n_iters,
+        interpret=interpret,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
 def run_simulation(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -151,7 +193,11 @@ def run_simulation(
     checkpointing (e.g. per-step debug reports): ``on_chunk(step, cells,
     av_chunk)`` is called after each chunk with the completed step count.
     """
-    step_fn, _ = select_step_fn(params, backend)
+    resident_interpret = select_resident(params, backend, dtype)
+    if resident_interpret is None:
+        step_fn, _ = select_step_fn(params, backend)
+    else:
+        step_fn = None
 
     if initial_cells is None:
         cells = D2Q9.initial_state(params, dtype=dtype)
@@ -166,15 +212,19 @@ def run_simulation(
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
     def lower_chunk(cells, n_iters):
-        return _run_loop.lower(
-            cells,
-            obstacles_dev,
-            inv_tot_cells,
+        common = dict(
             n_iters=n_iters,
             density=float(params.density),
             accel=float(params.accel),
             omega=float(params.omega),
-            step_fn=step_fn,
+        )
+        if resident_interpret is not None:
+            return _run_resident.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=resident_interpret, **common,
+            )
+        return _run_loop.lower(
+            cells, obstacles_dev, inv_tot_cells, step_fn=step_fn, **common
         )
 
     remaining = params.max_iters - start_step

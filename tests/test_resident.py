@@ -1,0 +1,68 @@
+"""VMEM-resident multi-step kernel vs the oracle (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbm_tpu.models.d2q9 import LBMParams
+from lbm_tpu.ops.pallas_resident import resident_supported, run_resident
+from lbm_tpu.runtime.driver import run_simulation
+
+PARAMS = LBMParams(
+    nx=128, ny=32, max_iters=7, reynolds_dim=10, density=0.1, accel=0.005, omega=1.85
+)
+
+
+def make_setup(params, seed=3):
+    rng = np.random.RandomState(seed)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    obstacles[rng.randint(1, params.ny - 1, 8), rng.randint(0, params.nx, 8)] = 1
+    state = oracle.initial_state(params) * (1 + 0.05 * rng.rand(9, params.ny, params.nx))
+    return state.astype(np.float32), obstacles
+
+
+def test_resident_supported():
+    assert resident_supported(1024, 1024)
+    assert not resident_supported(2048, 2048)  # > VMEM budget
+    assert not resident_supported(100, 128)  # misaligned
+    assert not resident_supported(1024, 1024, jnp.bfloat16)
+
+
+def test_resident_matches_oracle():
+    params = PARAMS
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_resident(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        params.max_iters, interpret=True,
+    )
+    want = state.astype(np.float64)
+    want_tot = []
+    for _ in range(params.max_iters):
+        want, tu = oracle.step(want, obstacles, params.density, params.accel, params.omega)
+        want_tot.append(tu)
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * scale
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_resident_backend_in_driver():
+    """run_simulation(backend='resident') off-TPU uses the interpreter and
+    matches the reference backend, including av_vels and chunk remainders."""
+    params = dataclasses.replace(PARAMS, max_iters=5)
+    _, obstacles = make_setup(params)
+    ref = run_simulation(params, obstacles, backend="reference")
+    res = run_simulation(params, obstacles, backend="resident")
+    np.testing.assert_allclose(res.cells, ref.cells, atol=3e-7)
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-5)
+
+
+def test_resident_rejects_unsupported():
+    params = dataclasses.replace(PARAMS, nx=100)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    with pytest.raises(ValueError):
+        run_simulation(params, obstacles, backend="resident")
