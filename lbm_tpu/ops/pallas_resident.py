@@ -33,8 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
-# Whole-state VMEM budget: state + working set ~2.5x must fit ~128 MB.
-_MAX_STATE_BYTES = 40 * 1024 * 1024
+# Whole-state VMEM budget. Measured on v5e (128 MB VMEM): the compiled
+# in-loop live set is input window + output window + ~3.25x state of
+# register-spill slots (1024^2 = 36 MB state demands 198.7 MB and fails),
+# so states must stay under ~128/5.25 ≈ 24 MB; 20 MB leaves margin.
+_MAX_STATE_BYTES = 20 * 1024 * 1024
 # Steps per mega-call: HBM traffic amortizes as 2/K state-passes per step;
 # K=256 makes it negligible while keeping the av SMEM output tiny.
 _CHUNK_STEPS = 256

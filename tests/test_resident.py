@@ -26,10 +26,11 @@ def make_setup(params, seed=3):
 
 
 def test_resident_supported():
-    assert resident_supported(1024, 1024)
+    assert resident_supported(512, 512)
     assert not resident_supported(2048, 2048)  # > VMEM budget
     assert not resident_supported(100, 128)  # misaligned
-    assert not resident_supported(1024, 1024, jnp.bfloat16)
+    assert not resident_supported(512, 512, jnp.bfloat16)
+    assert not resident_supported(1024, 1024)  # 36 MB state needs ~199 MB live
 
 
 def test_resident_matches_oracle():
