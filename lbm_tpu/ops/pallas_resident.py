@@ -1,25 +1,26 @@
 """VMEM-resident multi-step Pallas kernel.
 
-For lattices whose whole state fits in VMEM (v5e: ~128 MB/core — grids up
-to ~1024x1024 at f32), the fastest schedule is not streaming row blocks per
-step but keeping the ENTIRE state on-chip and running many timesteps inside
-one kernel invocation:
+For lattices whose whole state fits in VMEM (v5e: 128 MB/core), the fastest
+schedule is not streaming row blocks per step but keeping the ENTIRE state
+on-chip and running many timesteps inside one kernel invocation:
 
-- the 9 planes live in VMEM as the ``lax.fori_loop`` carry; HBM is touched
-  only once per K-step chunk (state in + state out) instead of once per
-  step — a ~K-fold reduction of HBM traffic;
-- with the whole grid present, BOTH periodic wraps are plain rolls
-  (sublanes for y, lanes for x — kernels.cl:80-98's modulo indexing with no
-  halos of any kind);
-- the per-step reduction writes one scalar per step into an SMEM output
-  array, so the av_vels series still materializes exactly once per step;
-- planes are updated pairwise (k, opp[k]) so bounce-back sources are
-  consumed before overwrite, keeping the peak VMEM live-set to ~13 planes.
+- HBM is touched once per K-step chunk (state in/out via an input-output-
+  ALIASED window) instead of twice per step — a ~K-fold traffic reduction;
+- the state ping-pongs between the aliased window and one VMEM scratch
+  buffer, two timesteps per loop iteration (A→B then B→A), so no dynamic
+  buffer-parity control flow is needed and an even chunk ends in the window;
+- each timestep is computed in ROW TILES (static python loop) so the live
+  temporary set stays tile-sized — v1 of this kernel carried whole planes
+  through the loop and spilled ~3.25x the state (1024^2 wanted 199 MB of
+  128 MB VMEM); tiling brings 1024^2 (36 MB state) comfortably on-chip;
+- with the whole grid resident, periodic wraps need no halos: the y-wrap
+  rows are direct (statically indexed) reads of the resident buffer and the
+  x-wrap is a lane roll (kernels.cl:80-98's modulo indexing, materialized
+  by the memory system instead of arithmetic);
+- the per-step reduction writes one scalar per step into an SMEM output.
 
-The driver chunks ``max_iters`` into K-step mega-calls (outer jitted
-``fori_loop``), scattering each chunk's av partials into the run-length
-series. Accuracy is identical to the block kernel (same f32 arithmetic, same
-operation order) — validated against the jnp oracle in tests.
+Accuracy is identical to the block kernel (same f32 arithmetic and
+operation order); validated against the jnp oracle in tests.
 """
 
 from __future__ import annotations
@@ -33,36 +34,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
-# Whole-state VMEM budget. Measured on v5e (128 MB VMEM): the compiled
-# in-loop live set is input window + output window + ~3.25x state of
-# register-spill slots (1024^2 = 36 MB state demands 198.7 MB and fails),
-# so states must stay under ~128/5.25 ≈ 24 MB; 20 MB leaves margin.
-_MAX_STATE_BYTES = 20 * 1024 * 1024
-# Steps per mega-call: HBM traffic amortizes as 2/K state-passes per step;
-# K=256 makes it negligible while keeping the av SMEM output tiny.
+# Whole-state VMEM budget, measured on v5e (128 MB VMEM): aliased window
+# (= state) + scratch (= state) + nobst + tile temporaries must fit.
+# 1024^2 f32: 36 + 36 + 4 + ~12 = ~88 MB — OK. 40 MB states cap it.
+_MAX_STATE_BYTES = 40 * 1024 * 1024
+# Steps per mega-call: HBM traffic amortizes as ~1/K state-passes per step.
 _CHUNK_STEPS = 256
+# Row-tile height for the in-step compute (bounds live temporaries).
+_TILE_ROWS = 128
 
 
 def resident_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
     if dtype != jnp.float32:
-        return False  # bf16 large grids are HBM-bound; use the block kernel
+        return False  # bf16 targets HBM-bound large grids; use the block kernel
     return nx % 128 == 0 and ny % 8 == 0 and 9 * ny * nx * 4 <= _MAX_STATE_BYTES
 
 
-def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
-                 *, steps: int, ny: int, nx: int,
-                 w1a: float, w2a: float, omega: float):
-    nobst = nobst_ref[...].astype(jnp.float32)
-    obst = 1.0 - nobst
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0)
-    row_sel = (rows == ny - 2).astype(jnp.float32) * owner_ref[0, 0]
+def _pick_tile(ny: int, nx: int) -> int:
+    """Tile height: bound temporaries to ~12 MB (≈15 live tile-planes)."""
+    max_rows = max(8, (12 * 1024 * 1024) // (15 * nx * 4) // 8 * 8)
+    tr = min(ny, _TILE_ROWS, max_rows)
+    while ny % tr:
+        tr -= 8
+    return max(tr, 8)
 
-    def roll2(p, cy, cx):  # pull shift: value moves by (+cy, +cx), periodic
-        if cy:
-            p = pltpu.roll(p, cy % ny, 0)
-        if cx:
-            p = pltpu.roll(p, cx % nx, 1)
-        return p
+
+def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref, scratch_ref,
+                 *, steps: int, ny: int, nx: int, tile: int,
+                 w1a: float, w2a: float, omega: float):
+    # out_ref is input-output aliased with cells_ref: it IS the state buffer
+    # ("A"); scratch_ref is the ping-pong partner ("B").
+    nobst_full = nobst_ref[...].astype(jnp.float32)
 
     cys = (0, 0, 1, 0, -1, 1, 1, -1, -1)
     cxs = (0, 1, 0, -1, 0, 1, -1, -1, 1)
@@ -70,59 +72,116 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
     fcy = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
     ws = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
     opp = (0, 3, 4, 1, 2, 7, 8, 5, 6)
+    ntiles = ny // tile
 
-    def step_body(tt, c):
-        # accelerate_flow (kernels.cl:21-41), joint mask on the forcing row
-        ok = ((c[3] - w1a > 0.0) & (c[6] - w2a > 0.0) & (c[7] - w2a > 0.0)).astype(
-            jnp.float32
-        )
-        amask = row_sel * ok * nobst
-        c = (
-            c[0],
-            c[1] + w1a * amask,
-            c[2],
-            c[3] - w1a * amask,
-            c[4],
-            c[5] + w2a * amask,
-            c[6] - w2a * amask,
-            c[7] - w2a * amask,
-            c[8] + w2a * amask,
-        )
-        # pull streaming — whole grid, both wraps are rolls
-        t = tuple(roll2(c[k], cys[k], cxs[k]) for k in range(9))
-        rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
-        inv_rho = 1.0 / rho
-        u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
-        u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
-        u_sq = u_x * u_x + u_y * u_y
-        common = 1.0 - u_sq * (0.5 / C_SQ)
+    def east(p):
+        return pltpu.roll(p, 1, 1)
 
-        def relax(k):
-            if k == 0:
-                feq = ws[0] * rho * common
-            else:
-                cu = fcx[k] * u_x + fcy[k] * u_y if fcx[k] and fcy[k] else (
-                    fcx[k] * u_x if fcx[k] else fcy[k] * u_y
-                )
-                feq = ws[k] * rho * (
-                    common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
-                )
-            return nobst * (t[k] + omega * (feq - t[k])) + obst * t[opp[k]]
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
 
-        new_c = tuple(relax(k) for k in range(9))
-        av_ref[tt, 0] = jnp.sum(nobst * jnp.sqrt(u_sq))
-        return new_c
+    def one_step(src, dst):
+        """One full timestep src -> dst; returns the tot_u partial sum."""
+        total = None
+        for j in range(ntiles):
+            r0 = j * tile
+            nob = nobst_full[r0 : r0 + tile]
+            obst = 1.0 - nob
 
-    c0 = tuple(cells_ref[k].astype(jnp.float32) for k in range(9))
-    c_final = jax.lax.fori_loop(0, steps, step_body, c0)
-    for k in range(9):
-        out_ref[k] = c_final[k]
+            def mid(k):
+                return src[k, r0 : r0 + tile]
+
+            def row(k, r):
+                r = r % ny
+                return src[k, r : r + 1]
+
+            # Fused accelerate_flow for the source rows this tile PULLS from.
+            # Forcing modifies row ny-2 of planes 1,3,5,6,7,8 before
+            # streaming; rather than mutating the buffer, each pull of an
+            # affected plane applies the (recomputed) masked delta when its
+            # source row range covers ny-2.
+            def amask_for(rows_lo: int, height: int):
+                """Forcing mask aligned to source rows [rows_lo, rows_lo+height)."""
+                pos = (ny - 2 - rows_lo) % ny
+                if pos >= height:
+                    return None
+                s3 = src[3, ny - 2 : ny - 1]
+                s6 = src[6, ny - 2 : ny - 1]
+                s7 = src[7, ny - 2 : ny - 1]
+                nob_row = nobst_full[ny - 2 : ny - 1]
+                ok = (
+                    (s3 - w1a > 0.0) & (s6 - w2a > 0.0) & (s7 - w2a > 0.0)
+                ).astype(jnp.float32)
+                m_row = ok * nob_row * owner_ref[0, 0]  # (1, nx)
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (height, 1), 0)
+                sel = (rows_i == pos).astype(jnp.float32)
+                return sel * m_row
+
+            sign = {1: 1.0, 5: 1.0, 8: 1.0, 3: -1.0, 6: -1.0, 7: -1.0}
+            wgt = {1: w1a, 3: w1a, 5: w2a, 6: w2a, 7: w2a, 8: w2a}
+
+            def pull(k):
+                """Streamed value t_k for this tile, with fused forcing."""
+                cy, cx = cys[k], cxs[k]
+                lo = r0 - cy  # source rows are [r0-cy, r0-cy+tile)
+                if cy == 0:
+                    p = mid(k)
+                elif cy == 1:
+                    p = jnp.concatenate([row(k, r0 - 1), mid(k)[: tile - 1]], axis=0)
+                else:  # cy == -1
+                    p = jnp.concatenate([mid(k)[1:], row(k, r0 + tile)], axis=0)
+                if k in sign:
+                    am = amask_for(lo, tile)
+                    if am is not None:
+                        p = p + sign[k] * wgt[k] * am
+                if cx == 1:
+                    p = east(p)
+                elif cx == -1:
+                    p = west(p)
+                return p
+
+            t = tuple(pull(k) for k in range(9))
+            rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
+            inv_rho = 1.0 / rho
+            u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
+            u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
+            u_sq = u_x * u_x + u_y * u_y
+            common = 1.0 - u_sq * (0.5 / C_SQ)
+
+            for k in range(9):
+                if k == 0:
+                    feq = ws[0] * rho * common
+                else:
+                    cu = fcx[k] * u_x + fcy[k] * u_y if fcx[k] and fcy[k] else (
+                        fcx[k] * u_x if fcx[k] else fcy[k] * u_y
+                    )
+                    feq = ws[k] * rho * (
+                        common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
+                    )
+                dst[k, r0 : r0 + tile] = nob * (t[k] + omega * (feq - t[k])) + obst * t[opp[k]]
+
+            part = jnp.sum(nob * jnp.sqrt(u_sq))
+            total = part if total is None else total + part
+        return total
+
+    def two_steps(i, _):
+        av_ref[2 * i, 0] = one_step(out_ref, scratch_ref)
+        av_ref[2 * i + 1, 0] = one_step(scratch_ref, out_ref)
+        return 0
+
+    jax.lax.fori_loop(0, steps // 2, two_steps, 0)
+    if steps % 2:
+        av_ref[steps - 1, 0] = one_step(out_ref, scratch_ref)
+        for k in range(9):
+            out_ref[k] = scratch_ref[k]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret):
+    tile = _pick_tile(ny, nx)
     kern = functools.partial(
-        _mega_kernel, steps=steps, ny=ny, nx=nx, w1a=w1a, w2a=w2a, omega=omega
+        _mega_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
+        w1a=w1a, w2a=w2a, omega=omega,
     )
     return pl.pallas_call(
         kern,
@@ -139,6 +198,8 @@ def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret):
             jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((steps, 1), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((9, ny, nx), jnp.float32)],
+        input_output_aliases={0: 0},
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),

@@ -30,7 +30,7 @@ def test_resident_supported():
     assert not resident_supported(2048, 2048)  # > VMEM budget
     assert not resident_supported(100, 128)  # misaligned
     assert not resident_supported(512, 512, jnp.bfloat16)
-    assert not resident_supported(1024, 1024)  # 36 MB state needs ~199 MB live
+    assert resident_supported(1024, 1024)  # 36 MB state fits via row tiling
 
 
 def test_resident_matches_oracle():
