@@ -4,11 +4,15 @@ For lattices whose whole state fits in VMEM (v5e: 128 MB/core), the fastest
 schedule is not streaming row blocks per step but keeping the ENTIRE state
 on-chip and running many timesteps inside one kernel invocation:
 
-- HBM is touched once per K-step chunk (state in/out via an input-output-
-  ALIASED window) instead of twice per step — a ~K-fold traffic reduction;
-- the state ping-pongs between the aliased window and one VMEM scratch
-  buffer, two timesteps per loop iteration (A→B then B→A), so no dynamic
-  buffer-parity control flow is needed and an even chunk ends in the window;
+- HBM is touched twice per K-step chunk (state in, state out) instead of
+  twice per step — a ~K-fold traffic reduction;
+- the state ping-pongs between the INPUT window (pallas refs are mutable
+  VMEM — mutations simply never write back to HBM) and the output window,
+  two timesteps per loop iteration, so no extra scratch buffer and no
+  dynamic buffer-parity control flow are needed; chunks are scheduled so
+  the final step lands in the output window (output aliasing is NOT used:
+  a compiled output window is write-only until written — reading it before
+  the first store returns garbage, which interpret mode masks by copying);
 - each timestep is computed in ROW TILES (static python loop) so the live
   temporary set stays tile-sized — v1 of this kernel carried whole planes
   through the loop and spilled ~3.25x the state (1024^2 wanted 199 MB of
@@ -34,12 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
 
-# Whole-state VMEM budget, measured on v5e (128 MB VMEM): aliased window
-# (= state) + scratch (= state) + nobst + tile temporaries must fit.
+# Whole-state VMEM budget, measured on v5e (128 MB VMEM): input window
+# (= state) + output window (= state) + nobst + tile temporaries must fit.
 # 1024^2 f32: 36 + 36 + 4 + ~12 = ~88 MB — OK. 40 MB states cap it.
 _MAX_STATE_BYTES = 40 * 1024 * 1024
-# Steps per mega-call: HBM traffic amortizes as ~1/K state-passes per step.
-_CHUNK_STEPS = 256
+# Steps per mega-call: HBM traffic amortizes as ~2/K state-passes per step.
+# Odd so the ping-pong naturally ends in the output window.
+_CHUNK_STEPS = 255
 # Row-tile height for the in-step compute (bounds live temporaries).
 _TILE_ROWS = 128
 
@@ -59,11 +64,12 @@ def _pick_tile(ny: int, nx: int) -> int:
     return max(tr, 8)
 
 
-def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref, scratch_ref,
+def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
                  *, steps: int, ny: int, nx: int, tile: int,
                  w1a: float, w2a: float, omega: float):
-    # out_ref is input-output aliased with cells_ref: it IS the state buffer
-    # ("A"); scratch_ref is the ping-pong partner ("B").
+    # cells_ref ("A") arrives DMA'd from HBM and serves as the mutable
+    # working buffer; out_ref ("B") is the ping-pong partner whose final
+    # contents are written back.
     nobst_full = nobst_ref[...].astype(jnp.float32)
 
     cys = (0, 0, 1, 0, -1, 1, 1, -1, -1)
@@ -164,16 +170,27 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref, scratch_ref,
             total = part if total is None else total + part
         return total
 
-    def two_steps(i, _):
-        av_ref[2 * i, 0] = one_step(out_ref, scratch_ref)
-        av_ref[2 * i + 1, 0] = one_step(scratch_ref, out_ref)
-        return 0
-
-    jax.lax.fori_loop(0, steps // 2, two_steps, 0)
     if steps % 2:
-        av_ref[steps - 1, 0] = one_step(out_ref, scratch_ref)
+        # A->B first, then pairs of (B->A, A->B): ends in B = out_ref.
+        av_ref[0, 0] = one_step(cells_ref, out_ref)
+
+        def two_steps(i, _):
+            av_ref[2 * i + 1, 0] = one_step(out_ref, cells_ref)
+            av_ref[2 * i + 2, 0] = one_step(cells_ref, out_ref)
+            return 0
+
+        jax.lax.fori_loop(0, (steps - 1) // 2, two_steps, 0)
+    else:
+        # Pairs of (A->B, B->A) end in A; one whole-state copy moves the
+        # final state into the output window (cheap vs the steps saved).
+        def two_steps(i, _):
+            av_ref[2 * i, 0] = one_step(cells_ref, out_ref)
+            av_ref[2 * i + 1, 0] = one_step(out_ref, cells_ref)
+            return 0
+
+        jax.lax.fori_loop(0, steps // 2, two_steps, 0)
         for k in range(9):
-            out_ref[k] = scratch_ref[k]
+            out_ref[k] = cells_ref[k]
 
 
 @functools.lru_cache(maxsize=None)
@@ -198,8 +215,6 @@ def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret):
             jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((steps, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((9, ny, nx), jnp.float32)],
-        input_output_aliases={0: 0},
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
