@@ -45,10 +45,6 @@ _MAX_STATE_BYTES = 40 * 1024 * 1024
 # Steps per mega-call: HBM traffic amortizes as ~2/K state-passes per step.
 # Odd so the ping-pong naturally ends in the output window.
 _CHUNK_STEPS = 255
-# Row-tile height for the in-step compute (bounds live temporaries).
-_TILE_ROWS = 128
-
-
 def resident_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
     if dtype != jnp.float32:
         return False  # bf16 targets HBM-bound large grids; use the block kernel
@@ -56,9 +52,10 @@ def resident_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
 
 
 def _pick_tile(ny: int, nx: int) -> int:
-    """Tile height: bound temporaries to ~12 MB (≈15 live tile-planes)."""
+    """Tile height: as large as the ~12 MB temporaries budget allows (≈15
+    live tile-planes) — small grids run whole-grid single-tile steps."""
     max_rows = max(8, (12 * 1024 * 1024) // (15 * nx * 4) // 8 * 8)
-    tr = min(ny, _TILE_ROWS, max_rows)
+    tr = min(ny, max_rows)
     while ny % tr:
         tr -= 8
     return max(tr, 8)
