@@ -120,7 +120,7 @@ def main(argv=None) -> int:
             args.ref_final_state_file,
             tolerance=args.tolerance,
         )
-    except ValueError as e:
+    except (ValueError, OSError) as e:
         print(e)
         return 1
 
