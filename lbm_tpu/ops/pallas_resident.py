@@ -45,6 +45,8 @@ _MAX_STATE_BYTES = 40 * 1024 * 1024
 # Steps per mega-call: HBM traffic amortizes as ~2/K state-passes per step.
 # Odd so the ping-pong naturally ends in the output window.
 _CHUNK_STEPS = 255
+# States small enough for the value-carried in-kernel loop (live set ~3.25x).
+_VALUE_CARRY_BYTES = 4 * 1024 * 1024
 def resident_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
     if dtype != jnp.float32:
         return False  # bf16 targets HBM-bound large grids; use the block kernel
@@ -167,7 +169,60 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
             total = part if total is None else total + part
         return total
 
-    if steps % 2:
+    if 9 * ny * nx * 4 <= _VALUE_CARRY_BYTES:
+        # Small-state fast path: carry the planes as VALUES through the loop
+        # (measured 2-3x faster per step than ref ping-pong at <=256^2; the
+        # ~3.25x live-set blowup that sinks large grids is harmless here).
+        def step_body(tt, c):
+            ok = (
+                (c[3] - w1a > 0.0) & (c[6] - w2a > 0.0) & (c[7] - w2a > 0.0)
+            ).astype(jnp.float32)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0)
+            sel = (rows_i == ny - 2).astype(jnp.float32)
+            am = sel * ok * nobst_full * owner_ref[0, 0]
+            c = (
+                c[0],
+                c[1] + w1a * am, c[2], c[3] - w1a * am, c[4],
+                c[5] + w2a * am, c[6] - w2a * am, c[7] - w2a * am,
+                c[8] + w2a * am,
+            )
+
+            def roll2(p, cy, cx):
+                if cy:
+                    p = pltpu.roll(p, cy % ny, 0)
+                if cx:
+                    p = pltpu.roll(p, cx % nx, 1)
+                return p
+
+            t = tuple(roll2(c[k], cys[k], cxs[k]) for k in range(9))
+            rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
+            inv_rho = 1.0 / rho
+            u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
+            u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
+            u_sq = u_x * u_x + u_y * u_y
+            common = 1.0 - u_sq * (0.5 / C_SQ)
+
+            def relax(k):
+                if k == 0:
+                    feq = ws[0] * rho * common
+                else:
+                    cu = fcx[k] * u_x + fcy[k] * u_y if fcx[k] and fcy[k] else (
+                        fcx[k] * u_x if fcx[k] else fcy[k] * u_y
+                    )
+                    feq = ws[k] * rho * (
+                        common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
+                    )
+                return nobst_full * (t[k] + omega * (feq - t[k])) + (1.0 - nobst_full) * t[opp[k]]
+
+            av_ref[tt, 0] = jnp.sum(nobst_full * jnp.sqrt(u_sq))
+            return tuple(relax(k) for k in range(9))
+
+        c_final = jax.lax.fori_loop(
+            0, steps, step_body, tuple(cells_ref[k].astype(jnp.float32) for k in range(9))
+        )
+        for k in range(9):
+            out_ref[k] = c_final[k]
+    elif steps % 2:
         # A->B first, then pairs of (B->A, A->B): ends in B = out_ref.
         av_ref[0, 0] = one_step(cells_ref, out_ref)
 

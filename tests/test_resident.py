@@ -67,3 +67,31 @@ def test_resident_rejects_unsupported():
     obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
     with pytest.raises(ValueError):
         run_simulation(params, obstacles, backend="resident")
+
+
+@pytest.mark.parametrize("steps", [4, 7])
+def test_resident_tiled_path_matches_oracle(steps, monkeypatch):
+    """Force the ref-ping-pong tiled path (used for large states) and the
+    multi-tile split, for both even (final copy) and odd step counts."""
+    import lbm_tpu.ops.pallas_resident as PR
+
+    monkeypatch.setattr(PR, "_VALUE_CARRY_BYTES", 0)
+    monkeypatch.setattr(PR, "_CHUNK_STEPS", 6)
+    PR._make_mega_call.cache_clear()
+    params = dataclasses.replace(PARAMS, ny=32, max_iters=steps)
+    state, obstacles = make_setup(params)
+    # Tile smaller than ny to exercise cross-tile rows.
+    monkeypatch.setattr(PR, "_pick_tile", lambda ny, nx: 8)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = PR.run_resident(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        steps, interpret=True,
+    )
+    PR._make_mega_call.cache_clear()
+    want = state.astype(np.float64)
+    want_tot = []
+    for _ in range(steps):
+        want, tu = oracle.step(want, obstacles, params.density, params.accel, params.omega)
+        want_tot.append(tu)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
