@@ -95,3 +95,17 @@ def test_resident_tiled_path_matches_oracle(steps, monkeypatch):
         want_tot.append(tu)
     assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_resident_checkpoint_chunks_match_unchunked(tmp_path):
+    """Resident backend under checkpoint chunking (chunk size not aligned to
+    the kernel's internal 255-step chunks) reproduces the unchunked run."""
+    params = dataclasses.replace(PARAMS, max_iters=11)
+    _, obstacles = make_setup(params)
+    full = run_simulation(params, obstacles, backend="resident")
+    chunked = run_simulation(
+        params, obstacles, backend="resident",
+        checkpoint_every=4, checkpoint_path=str(tmp_path / "ck.npz"),
+    )
+    np.testing.assert_allclose(chunked.cells, full.cells, atol=1e-7)
+    np.testing.assert_allclose(chunked.av_vels, full.av_vels, rtol=1e-6)
