@@ -34,11 +34,12 @@ def main() -> int:
 
     platform = jax.devices()[0].platform
     backend = "auto"
-    # Warmup run (pays compile + any backend session setup), then best-of-3
-    # timed runs (the shared-TPU environment shows multi-x throttling noise;
-    # the best pass reflects the kernel, not the neighbors).
-    warm = dataclasses.replace(params, max_iters=50)
-    run_simulation(warm, obstacles, backend=backend)
+    # Warmup with the SAME iteration count so the timed passes reuse the
+    # exact compiled programs (remote compilation is async — the first
+    # execution of a new program shape pays it), then best-of-3 timed runs
+    # (the shared-TPU environment shows multi-x throttling noise; the best
+    # pass reflects the kernel, not the neighbors).
+    run_simulation(p, obstacles, backend=backend)
 
     passes = [run_simulation(p, obstacles, backend=backend) for _ in range(3)]
     result = min(passes, key=lambda r: r.elapsed)
