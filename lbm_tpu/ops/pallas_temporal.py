@@ -64,9 +64,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst2_ref, owner_ref,
     def west(p):
         return pltpu.roll(p, nx - 1, 1)
 
-    # nobst2_ref block covers rows [r0-2, r0+B+2) (built by the driver with
-    # wrap, mirroring the extended tile), so all masks slice from it.
-    nob_ext = nobst2_ref[...].astype(jnp.float32)  # (B+4, nx)
+    # nobst2_ref block covers rows [r0-2, r0+B+2) plus 4 alignment pad rows
+    # (built by the driver with wrap), so all masks slice from it.
+    nob_ext = nobst2_ref[...][: B + 4].astype(jnp.float32)  # (B+4, nx)
     nob_mid = nob_ext[2 : B + 2]
     owner = owner_ref[0, 0]
 
@@ -199,7 +199,7 @@ def _make_call(ny, nx, block, w1a, w2a, omega, interpret):
             # the second axis; (i+1)'s top-2 rows likewise.
             pl.BlockSpec((1, 18, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 18, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block + 4, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block + 8, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -245,8 +245,9 @@ def make_halos2(cells, block):
 
 
 def nobst_ext(nobst, block):
-    """(nblk*(B+4), nx) stacked per-block masks covering rows r0-2..r0+B+2
-    with wrap — BlockSpec (B+4, nx) @ (i, 0) slices block i's."""
+    """(nblk*(B+8), nx) stacked per-block masks covering rows r0-2..r0+B+2
+    with wrap, plus 4 pad rows per block for sublane alignment — BlockSpec
+    (B+8, nx) @ (i, 0) slices block i's."""
     ny, nx = nobst.shape
     nblk = ny // block
     rows = []
@@ -258,6 +259,7 @@ def nobst_ext(nobst, block):
             + [(r0 + block) % ny, (r0 + block + 1) % ny]
         )
         rows.append(nobst[jnp.asarray(idx)])
+        rows.append(jnp.zeros((4, nx), nobst.dtype))
     return jnp.concatenate(rows, axis=0)
 
 
