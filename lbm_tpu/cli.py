@@ -38,10 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("obstaclefile", help="obstacle list file ('x y 1' per line)")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "resident", "reference"],
+        choices=["auto", "pallas", "resident", "temporal", "reference"],
         default="auto",
         help="step implementation: block-streaming Pallas kernel, VMEM-resident "
-        "multi-step kernel (grids that fit on-chip), jnp reference, or auto",
+        "multi-step kernel (grids that fit on-chip), temporally-blocked "
+        "2-steps-per-pass kernel (HBM-bound grids), jnp reference, or auto",
     )
     p.add_argument(
         "--precision",

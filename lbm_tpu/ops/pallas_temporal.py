@@ -324,3 +324,14 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
         cells, s = step(cells, nob_plain, density, accel, omega)
         tot_u = tot_u.at[n_iters - 1].set(s)
     return cells, tot_u
+
+
+def pick_block(ny: int, nx: int) -> int | None:
+    """Temporal-kernel block height (B=16 measured fastest: 8192^2
+    6,128 vs 4,983 MLUPS at B=8; 2048^2 6,272 vs 4,935)."""
+    if nx % 128 != 0:
+        return None
+    for b in (16, 8):
+        if ny % b == 0:
+            return b
+    return None

@@ -41,3 +41,25 @@ def test_temporal_matches_oracle(steps, block):
         want_tot.append(tu)
     assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_temporal_backend_in_driver():
+    """run_simulation(backend='temporal') off-TPU interprets and matches the
+    reference backend, including the odd-step tail."""
+    from lbm_tpu.runtime.driver import run_simulation
+
+    params = dataclasses.replace(PARAMS, max_iters=5)
+    _, obstacles = make_setup(params)
+    ref = run_simulation(params, obstacles, backend="reference")
+    tmp = run_simulation(params, obstacles, backend="temporal")
+    np.testing.assert_allclose(tmp.cells, ref.cells, atol=3e-7)
+    np.testing.assert_allclose(tmp.av_vels, ref.av_vels, rtol=1e-5)
+
+
+def test_temporal_rejects_unsupported():
+    from lbm_tpu.runtime.driver import run_simulation
+
+    params = dataclasses.replace(PARAMS, nx=100)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    with pytest.raises(ValueError):
+        run_simulation(params, obstacles, backend="temporal")
