@@ -11,7 +11,6 @@ slice it sweeps the mesh (halo exchange rides ICI). Iterations default to
 200 (the grid has 67M cells — 200 iters is ~13.4G updates).
 """
 
-import dataclasses
 import json
 import sys
 import time
@@ -39,13 +38,14 @@ def main() -> int:
     n_avail = len(jax.devices())
     meshes = [n for n in (1, 2, 4, 8) if n <= n_avail]
 
-    warm = dataclasses.replace(params, max_iters=10)
     for n in meshes:
+        # Warm with the SAME shape so the timed pass reuses compiled programs
+        # (remote compiles are async — the first execution pays them).
         if n == 1:
-            run_simulation(warm, obstacles, backend="auto")
+            run_simulation(params, obstacles, backend="auto")
             res = run_simulation(params, obstacles, backend="auto")
         else:
-            run_simulation_sharded(warm, obstacles, n_devices=n, backend="auto")
+            run_simulation_sharded(params, obstacles, n_devices=n, backend="auto")
             res = run_simulation_sharded(params, obstacles, n_devices=n, backend="auto")
         mlups = res.mlups(params)
         print(
