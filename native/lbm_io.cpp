@@ -80,6 +80,14 @@ int64_t lbm_read_obstacles(const char* path, int64_t nx, int64_t ny,
   char linebuf[256];
   while (std::fgets(linebuf, sizeof linebuf, fp)) {
     ++line;
+    // A line longer than the buffer would be split by fgets into bogus
+    // records; the Python fallback sees it whole and rejects it — match
+    // that by treating a truncated read (no newline, not at EOF) as
+    // malformed.
+    if (!std::strchr(linebuf, '\n') && !std::feof(fp)) {
+      std::fclose(fp);
+      return line;
+    }
     // Skip blank lines.
     bool blank = true;
     for (const char* p = linebuf; *p; ++p) {
@@ -89,10 +97,20 @@ int64_t lbm_read_obstacles(const char* path, int64_t nx, int64_t ny,
       }
     }
     if (blank) continue;
-    if (std::sscanf(linebuf, "%lld %lld %lld", &x, &y, &blocked) != 3 ||
+    // Exactly-3-fields rule (files.py rejects extra tokens): after the 3
+    // integers the remainder must be whitespace-only.
+    int consumed = 0;
+    if (std::sscanf(linebuf, "%lld %lld %lld%n", &x, &y, &blocked,
+                    &consumed) != 3 ||
         x < 0 || x >= nx || y < 0 || y >= ny || blocked != 1) {
       std::fclose(fp);
       return line;
+    }
+    for (const char* p = linebuf + consumed; *p; ++p) {
+      if (*p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') {
+        std::fclose(fp);
+        return line;
+      }
     }
     mask[y * nx + x] = (int32_t)blocked;
   }
