@@ -94,7 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--checkpoint-path",
         default=None,
-        help="checkpoint file path (default: <out-dir>/checkpoint.npz when enabled)",
+        help="checkpoint file path (default: <out-dir>/checkpoint.npz when "
+        "enabled, or <out-dir>/checkpoint.orbax for --checkpoint-format orbax)",
+    )
+    p.add_argument(
+        "--checkpoint-format",
+        choices=["npz", "orbax"],
+        default="npz",
+        help="checkpoint container: single atomic .npz file (default) or an "
+        "orbax checkpoint directory (the TPU-ecosystem standard)",
     )
     p.add_argument(
         "--resume",
@@ -189,15 +197,19 @@ def main(argv=None) -> int:
 
     checkpoint_path = args.checkpoint_path
     if checkpoint_path is None and (args.checkpoint_every or args.resume):
-        checkpoint_path = os.path.join(args.out_dir, "checkpoint.npz")
+        checkpoint_path = os.path.join(
+            args.out_dir, f"checkpoint.{args.checkpoint_format}"
+        )
 
     initial_cells = None
     start_step = 0
     av_prefix = None
     if args.resume and checkpoint_path and os.path.exists(checkpoint_path):
-        from lbm_tpu.runtime.checkpoint import load_checkpoint
+        from lbm_tpu.runtime.checkpoint import load_checkpoint_as
 
-        initial_cells, av_prefix, start_step = load_checkpoint(checkpoint_path, params)
+        initial_cells, av_prefix, start_step = load_checkpoint_as(
+            checkpoint_path, params, format=args.checkpoint_format
+        )
         if args.verbose:
             print(f"[lbm_tpu] resuming from step {start_step}", file=sys.stderr)
         if start_step >= params.max_iters:
@@ -228,6 +240,24 @@ def main(argv=None) -> int:
             print(f"lbm_tpu: error: bad --mesh {args.mesh!r}", file=sys.stderr)
             return 1
 
+    # Unsupported flag combinations fail loudly rather than silently
+    # dropping a resumed state or checkpoint schedule (ADVICE r1).
+    meshed = mesh_2d is not None or mesh_n > 1
+    if meshed and args.debug:
+        print(
+            "lbm_tpu: error: --debug (per-step report) is not supported with "
+            "--mesh; run single-device",
+            file=sys.stderr,
+        )
+        return 1
+    if mesh_2d is not None and (args.resume or args.checkpoint_every):
+        print(
+            "lbm_tpu: error: checkpoint/resume is not supported on a 2-D mesh "
+            "(use a 1-D --mesh N)",
+            file=sys.stderr,
+        )
+        return 1
+
     tic = time.time()
     if mesh_2d is not None:
         from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
@@ -249,6 +279,12 @@ def main(argv=None) -> int:
                 n_devices=mesh_n,
                 backend=args.backend,
                 dtype=dtype,
+                initial_cells=initial_cells,
+                start_step=start_step,
+                av_vels_prefix=av_prefix,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_path=checkpoint_path if args.checkpoint_every else None,
+                checkpoint_format=args.checkpoint_format,
             )
         except ValueError as e:
             print(f"lbm_tpu: error: {e}", file=sys.stderr)
@@ -265,20 +301,25 @@ def main(argv=None) -> int:
             def on_chunk(step, cells, av_chunk):
                 print(debug_report(step - 1, float(av_chunk[-1]), cells))
 
-        result = run_simulation(
-            params,
-            obstacles,
-            backend=args.backend,
-            dtype=dtype,
-            initial_cells=initial_cells,
-            start_step=start_step,
-            av_vels_prefix=av_prefix,
-            checkpoint_every=args.checkpoint_every,
-            checkpoint_path=checkpoint_path if args.checkpoint_every else None,
-            chunk_every=chunk_every,
-            on_chunk=on_chunk,
-            device=device,
-        )
+        try:
+            result = run_simulation(
+                params,
+                obstacles,
+                backend=args.backend,
+                dtype=dtype,
+                initial_cells=initial_cells,
+                start_step=start_step,
+                av_vels_prefix=av_prefix,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_path=checkpoint_path if args.checkpoint_every else None,
+                checkpoint_format=args.checkpoint_format,
+                chunk_every=chunk_every,
+                on_chunk=on_chunk,
+                device=device,
+            )
+        except ValueError as e:
+            print(f"lbm_tpu: error: {e}", file=sys.stderr)
+            return 1
     if args.check_nan:
         from lbm_tpu.utils.diagnostics import NaNError, check_finite
 

@@ -430,6 +430,7 @@ def run_simulation_sharded(
     av_vels_prefix: np.ndarray | None = None,
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
+    checkpoint_format: str = "npz",
 ):
     """Run the full simulation over a device mesh. Requires ``ny`` divisible
     by the number of devices. Checkpoint/resume mirrors the single-device
@@ -477,14 +478,9 @@ def run_simulation_sharded(
         raise ValueError("start_step is beyond max_iters")
     av_chunks = [] if av_vels_prefix is None else [np.asarray(av_vels_prefix)]
 
-    if checkpoint_every and checkpoint_every > 0:
-        chunk_sizes = []
-        step = start_step
-        while step < params.max_iters:
-            chunk_sizes.append(min(checkpoint_every, params.max_iters - step))
-            step += chunk_sizes[-1]
-    else:
-        chunk_sizes = [remaining]
+    from lbm_tpu.runtime.driver import compute_chunk_sizes
+
+    chunk_sizes = compute_chunk_sizes(start_step, params.max_iters, checkpoint_every)
 
     t0 = time.perf_counter()
     compiled = {
@@ -505,11 +501,11 @@ def run_simulation_sharded(
         av_chunks.append(np.asarray(av))
         step += n_chunk
         if checkpoint_path is not None and checkpoint_every:
-            from lbm_tpu.runtime.checkpoint import save_checkpoint
+            from lbm_tpu.runtime.checkpoint import save_checkpoint_as
 
-            save_checkpoint(
+            save_checkpoint_as(
                 checkpoint_path, params, np.asarray(cells),
-                np.concatenate(av_chunks), step,
+                np.concatenate(av_chunks), step, format=checkpoint_format,
             )
 
     return SimulationResult(

@@ -129,3 +129,27 @@ def load_checkpoint_orbax(path, params: LBMParams):
             f"{expect.tolist()}"
         )
     return np.asarray(tree["cells"]), np.asarray(tree["av_vels"]), int(tree["step"])
+
+
+FORMATS = ("npz", "orbax")
+
+
+def save_checkpoint_as(
+    path, params: LBMParams, cells, av_vels, step: int, format: str = "npz"
+) -> None:
+    """Format-dispatching save (``format`` in ``FORMATS``)."""
+    if format == "npz":
+        save_checkpoint(path, params, cells, av_vels, step)
+    elif format == "orbax":
+        save_checkpoint_orbax(path, params, cells, av_vels, step)
+    else:
+        raise ValueError(f"unknown checkpoint format {format!r}")
+
+
+def load_checkpoint_as(path, params: LBMParams, format: str = "npz"):
+    """Format-dispatching load; returns ``(cells, av_vels, step)``."""
+    if format == "npz":
+        return load_checkpoint(path, params)
+    if format == "orbax":
+        return load_checkpoint_orbax(path, params)
+    raise ValueError(f"unknown checkpoint format {format!r}")

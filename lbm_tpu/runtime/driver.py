@@ -111,18 +111,27 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     return None
 
 
-def select_step_fn(params: LBMParams, backend: str) -> tuple[Callable, str]:
+def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[Callable, str]:
     """Resolve the per-step implementation (non-resident paths).
 
     ``pallas`` — the fused TPU kernel; ``reference`` — the jnp oracle;
     ``auto`` — pallas on TPU when the grid shape fits its tiling
-    constraints, reference otherwise.
+    constraints, reference otherwise. The pallas kernel stores f32/bf16
+    only, so f64 routes to the reference step (never a silent downgrade:
+    an explicit ``pallas`` + f64 request errors instead).
     """
     if backend in ("resident", "temporal"):
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend == "reference":
+        return lbm_step_reference, "reference"
+    if jnp.dtype(dtype) == jnp.float64:
+        if backend == "pallas":
+            raise ValueError(
+                "pallas backend stores f32/bf16 only; use --precision f32/bf16 "
+                "or --backend reference for f64"
+            )
         return lbm_step_reference, "reference"
     try:
         from lbm_tpu.ops.pallas_step import (
@@ -215,6 +224,26 @@ def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
     return cells, tot_u * inv_tot_cells
 
 
+def compute_chunk_sizes(
+    start_step: int, max_iters: int, checkpoint_every: int = 0, chunk_every: int = 0
+) -> list[int]:
+    """Split ``[start_step, max_iters)`` so a boundary falls on every
+    multiple of ``checkpoint_every`` and of ``chunk_every`` (each ignored
+    when <= 0)."""
+    strides = [s for s in (checkpoint_every, chunk_every) if s and s > 0]
+    if not strides:
+        return [max_iters - start_step]
+    sizes = []
+    step = start_step
+    while step < max_iters:
+        nxt = min(
+            [max_iters] + [(step // s + 1) * s for s in strides]
+        )
+        sizes.append(nxt - step)
+        step = nxt
+    return sizes
+
+
 def run_simulation(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -226,6 +255,7 @@ def run_simulation(
     av_vels_prefix: np.ndarray | None = None,
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
+    checkpoint_format: str = "npz",
     chunk_every: int = 0,
     on_chunk=None,
     device=None,
@@ -244,7 +274,7 @@ def run_simulation(
     if resident_interpret is None:
         temporal_interpret = select_temporal(params, backend, dtype)
     if resident_interpret is None and temporal_interpret is None:
-        step_fn, _ = select_step_fn(params, backend)
+        step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None
 
@@ -286,19 +316,13 @@ def run_simulation(
         raise ValueError("start_step is beyond max_iters")
     av_chunks = [] if av_vels_prefix is None else [np.asarray(av_vels_prefix)]
 
-    stride = 0
-    if checkpoint_every and checkpoint_every > 0:
-        stride = checkpoint_every
-    if chunk_every and chunk_every > 0:
-        stride = min(stride, chunk_every) if stride else chunk_every
-    if stride:
-        chunk_sizes = []
-        step = start_step
-        while step < params.max_iters:
-            chunk_sizes.append(min(stride, params.max_iters - step))
-            step += chunk_sizes[-1]
-    else:
-        chunk_sizes = [remaining]
+    # Chunk boundaries land on every multiple of checkpoint_every AND of
+    # chunk_every (not a fixed stride: checkpoint_every=100 with
+    # chunk_every=30 must still checkpoint at 100, 200, ... and an unaligned
+    # resume realigns at the next multiple).
+    chunk_sizes = compute_chunk_sizes(
+        start_step, params.max_iters, checkpoint_every, chunk_every
+    )
 
     # Compile up front (one compile per distinct chunk size, AOT — no
     # execution) so `elapsed` measures only the compute loop — the analogue of
@@ -324,10 +348,11 @@ def run_simulation(
             and checkpoint_every
             and (step % checkpoint_every == 0 or step == params.max_iters)
         ):
-            from lbm_tpu.runtime.checkpoint import save_checkpoint
+            from lbm_tpu.runtime.checkpoint import save_checkpoint_as
 
-            save_checkpoint(
-                checkpoint_path, params, np.asarray(cells), np.concatenate(av_chunks), step
+            save_checkpoint_as(
+                checkpoint_path, params, np.asarray(cells), np.concatenate(av_chunks),
+                step, format=checkpoint_format,
             )
 
     return SimulationResult(

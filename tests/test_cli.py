@@ -126,3 +126,122 @@ def test_cli_stats_json(tiny_inputs, tmp_path):
     data = json.loads(stats.read_text())
     assert data["nx"] == 16 and data["max_iters"] == 8
     assert data["mlups"] > 0 and "reynolds" in data
+
+
+def test_cli_mesh_resume_continues(tiny_inputs, tmp_path):
+    """--mesh + --resume continues a checkpointed sharded run from where it
+    stopped (ADVICE r1: these flags used to be silently dropped)."""
+    params, obstacles = tiny_inputs
+    out_full = tmp_path / "full"
+    assert main([params, obstacles, "--backend", "reference",
+                 "--out-dir", str(out_full)]) == 0
+
+    # Produce a mid-run checkpoint: run with --checkpoint-every, then rewind
+    # the saved snapshot to step 3 by re-saving a truncated prefix.
+    out_m = tmp_path / "mesh"
+    ckpt = str(tmp_path / "mesh_ck.npz")
+    assert main([params, obstacles, "--mesh", "2", "--backend", "reference",
+                 "--out-dir", str(out_m), "--checkpoint-every", "3",
+                 "--checkpoint-path", ckpt]) == 0
+
+    import numpy as np
+
+    from lbm_tpu.io import read_params
+    from lbm_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    p = read_params(params)
+    data = np.load(ckpt)
+    assert int(data["step"]) == p.max_iters  # checkpoints were written at all
+
+    # Build a step-3 checkpoint from a fresh 3-step run, then resume on the
+    # mesh and compare the full series to the uninterrupted single-device run.
+    from lbm_tpu.io import read_obstacles
+    from lbm_tpu.runtime.driver import run_simulation
+    import dataclasses
+
+    obs = read_obstacles(obstacles, p)
+    p3 = dataclasses.replace(p, max_iters=3)
+    r3 = run_simulation(p3, obs, backend="reference")
+    save_checkpoint(ckpt, p, r3.cells, r3.av_vels, 3)
+
+    out_r = tmp_path / "resumed"
+    assert main([params, obstacles, "--mesh", "2", "--backend", "reference",
+                 "--out-dir", str(out_r), "--resume",
+                 "--checkpoint-path", ckpt]) == 0
+    av_full = np.loadtxt(out_full / "av_vels.dat", usecols=[1], ndmin=1)
+    av_res = np.loadtxt(out_r / "av_vels.dat", usecols=[1], ndmin=1)
+    assert len(av_res) == p.max_iters
+    np.testing.assert_allclose(av_full, av_res, rtol=1e-5)
+
+
+def test_cli_mesh_rejects_debug(tiny_inputs, tmp_path, capsys):
+    params, obstacles = tiny_inputs
+    rc = main([params, obstacles, "--mesh", "2", "--debug",
+               "--out-dir", str(tmp_path / "o")])
+    assert rc == 1
+    assert "--debug" in capsys.readouterr().err
+
+
+def test_cli_mesh2d_rejects_resume(tiny_inputs, tmp_path, capsys):
+    params, obstacles = tiny_inputs
+    rc = main([params, obstacles, "--mesh", "2x2", "--resume",
+               "--out-dir", str(tmp_path / "o")])
+    assert rc == 1
+    assert "2-D mesh" in capsys.readouterr().err
+    rc = main([params, obstacles, "--mesh", "2x2", "--checkpoint-every", "2",
+               "--out-dir", str(tmp_path / "o")])
+    assert rc == 1
+
+
+def test_cli_f64_pallas_rejected(tiny_inputs, tmp_path, capsys):
+    """--precision f64 with an explicit pallas backend errors instead of
+    silently computing in f32 (ADVICE r1)."""
+    params, obstacles = tiny_inputs
+    rc = main([params, obstacles, "--backend", "pallas", "--precision", "f64",
+               "--out-dir", str(tmp_path / "o")])
+    assert rc == 1
+    assert "f32" in capsys.readouterr().err
+
+
+def test_cli_orbax_checkpoint_roundtrip(tiny_inputs, tmp_path):
+    """--checkpoint-format orbax writes an orbax directory and --resume
+    reads it back to the same answer as an uninterrupted run."""
+    pytest.importorskip("orbax.checkpoint")
+    params, obstacles = tiny_inputs
+    out_full = tmp_path / "full"
+    assert main([params, obstacles, "--backend", "reference",
+                 "--out-dir", str(out_full)]) == 0
+
+    import dataclasses
+
+    import numpy as np
+
+    from lbm_tpu.io import read_obstacles, read_params
+    from lbm_tpu.runtime.checkpoint import save_checkpoint_orbax
+    from lbm_tpu.runtime.driver import run_simulation
+
+    p = read_params(params)
+    obs = read_obstacles(obstacles, p)
+    ckpt = str(tmp_path / "ck.orbax")
+    r3 = run_simulation(dataclasses.replace(p, max_iters=3), obs, backend="reference")
+    save_checkpoint_orbax(ckpt, p, r3.cells, r3.av_vels, 3)
+
+    out_r = tmp_path / "resumed"
+    assert main([params, obstacles, "--backend", "reference",
+                 "--out-dir", str(out_r), "--resume",
+                 "--checkpoint-format", "orbax",
+                 "--checkpoint-path", ckpt]) == 0
+    av_full = np.loadtxt(out_full / "av_vels.dat", usecols=[1], ndmin=1)
+    av_res = np.loadtxt(out_r / "av_vels.dat", usecols=[1], ndmin=1)
+    np.testing.assert_allclose(av_full, av_res, rtol=1e-6)
+
+
+def test_cli_orbax_checkpoint_written(tiny_inputs, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    params, obstacles = tiny_inputs
+    ckpt = tmp_path / "snap.orbax"
+    assert main([params, obstacles, "--backend", "reference",
+                 "--out-dir", str(tmp_path / "o"), "--checkpoint-every", "4",
+                 "--checkpoint-format", "orbax",
+                 "--checkpoint-path", str(ckpt)]) == 0
+    assert ckpt.is_dir()

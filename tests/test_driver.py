@@ -162,3 +162,46 @@ def test_orbax_checkpoint_roundtrip(tmp_path, small_params):
     bad = dataclasses.replace(small_params, density=0.2)
     with pytest.raises(ValueError):
         load_checkpoint_orbax(path, bad)
+
+
+def test_compute_chunk_sizes_alignment():
+    """Chunk boundaries land on every checkpoint multiple even when a
+    smaller chunk_every stride is active, and an unaligned resume realigns
+    at the next multiple (ADVICE r1)."""
+    from lbm_tpu.runtime.driver import compute_chunk_sizes
+
+    def boundaries(start, sizes):
+        out, s = [], start
+        for n in sizes:
+            s += n
+            out.append(s)
+        return out
+
+    # checkpoint_every=100 with chunk_every=30: step 100 must be a boundary.
+    sizes = compute_chunk_sizes(0, 150, checkpoint_every=100, chunk_every=30)
+    b = boundaries(0, sizes)
+    assert 100 in b and b[-1] == 150
+    assert all(n > 0 for n in sizes)
+
+    # Unaligned resume (start=37, every=25): next checkpoints at 50, 75, 100.
+    sizes = compute_chunk_sizes(37, 100, checkpoint_every=25)
+    assert boundaries(37, sizes) == [50, 75, 100]
+
+    # No strides: one chunk.
+    assert compute_chunk_sizes(5, 42) == [37]
+
+    # chunk_every alone.
+    assert compute_chunk_sizes(0, 10, chunk_every=4) == [4, 4, 2]
+
+
+def test_f64_routes_to_reference(small_params):
+    """auto + f64 never silently downgrades to the f32 pallas kernel."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops.reference import lbm_step_reference
+    from lbm_tpu.runtime.driver import select_step_fn
+
+    fn, name = select_step_fn(small_params, "auto", jnp.float64)
+    assert fn is lbm_step_reference and name == "reference"
+    with pytest.raises(ValueError, match="f32"):
+        select_step_fn(small_params, "pallas", jnp.float64)
