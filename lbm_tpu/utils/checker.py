@@ -31,6 +31,10 @@ class SeriesDiff:
     max_index: int
     sim_val: float
     ref_val: float
+    # Grid coordinates of the max diff (final_state series only,
+    # check.py:124-127: taken from the SIM file's columns 0, 1).
+    coord_x: int | None = None
+    coord_y: int | None = None
 
     def failed(self, tolerance: float) -> bool:
         # check.py:134-135
@@ -54,10 +58,14 @@ class CheckResult:
 
 
 def _series_diff(ref: np.ndarray, sim: np.ndarray) -> SeriesDiff:
-    # check.py:84-100 — percent diff is relative to the SIMULATED value.
+    # check.py:84-100 — percent diff is relative to the SIMULATED value,
+    # computed in upstream's exact algebraic form 100*diff/(ref - diff)
+    # (check.py:87; identical to 100*diff/sim except for float rounding in
+    # pathological magnitude gaps — kept literal so the mirror is
+    # bit-faithful).
     diff = ref - sim
     with np.errstate(divide="ignore", invalid="ignore"):
-        diff_pcnt = 100.0 * diff / sim
+        diff_pcnt = 100.0 * (diff / (ref - diff))
     idx = int(np.argmax(np.abs(diff_pcnt)))
     return SeriesDiff(
         total=float(np.sum(np.abs(diff))),
@@ -94,9 +102,13 @@ def check_files(
     if av_ref.size != av_sim.size:  # check.py:80-82
         raise ValueError("Different number of steps in av_vels files")
 
+    fs = _series_diff(fs_ref[:, 2], fs_sim[:, 2])
+    # check.py:124-127: the reported location comes from the SIM file.
+    fs.coord_x = int(fs_sim[fs.max_index, 0])
+    fs.coord_y = int(fs_sim[fs.max_index, 1])
     return CheckResult(
         av_vels=_series_diff(av_ref, av_sim),
-        final_state=_series_diff(fs_ref[:, 2], fs_sim[:, 2]),
+        final_state=fs,
         tolerance=tolerance,
     )
 
@@ -130,7 +142,11 @@ def main(argv=None) -> int:
     print("  %.12E vs. %.12E = %.2g%%" % (av.sim_val, av.ref_val, av.max_diff_pcnt))
     print()
     print("Total difference in final_state : %.12E" % fs.total)
-    print("Biggest difference (at index %d) : %.12E" % (fs.max_index, fs.max_diff))
+    # check.py:120: location printed as grid coords (x, y) from the sim file.
+    print(
+        "Biggest difference (at coord (%d,%d)) : %.12E"
+        % (fs.coord_x, fs.coord_y, fs.max_diff)
+    )
     print("  %.12E vs. %.12E = %.2g%%" % (fs.sim_val, fs.ref_val, fs.max_diff_pcnt))
     print()
     if fs.failed(result.tolerance):

@@ -1,0 +1,87 @@
+"""Unit tests for multi-host initialization (parallel/multihost.py).
+
+A real pod slice isn't available here, so ``jax.distributed.initialize`` is
+mocked; these cover the env-var parsing and the idempotent-fallback branch
+(VERDICT r1 item 7)."""
+
+import jax
+import pytest
+
+from lbm_tpu.parallel.multihost import initialize_multihost
+
+
+@pytest.fixture
+def recorded(monkeypatch):
+    calls = []
+
+    def fake_initialize(*args, **kwargs):
+        calls.append((args, kwargs))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    return calls
+
+
+def test_explicit_args(recorded):
+    initialize_multihost("host0:1234", 4, 2)
+    assert recorded == [
+        ((), {"coordinator_address": "host0:1234", "num_processes": 4, "process_id": 2})
+    ]
+
+
+def test_env_vars(recorded, monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "coord:8476")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "16")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    initialize_multihost()
+    assert recorded == [
+        ((), {"coordinator_address": "coord:8476", "num_processes": 16, "process_id": 3})
+    ]
+
+
+def test_explicit_args_override_env(recorded, monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "env:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "8")
+    initialize_multihost(coordinator_address="arg:2")
+    (_, kwargs), = recorded
+    assert kwargs["coordinator_address"] == "arg:2"
+    assert kwargs["num_processes"] == 8  # env still fills the gaps
+
+
+def test_unconfigured_tries_autodetect(recorded):
+    """No env, no args: auto-detect is attempted with no arguments (TPU pod
+    topology detection) — single call, no kwargs."""
+    initialize_multihost()
+    assert recorded == [((), {})]
+
+
+def test_unconfigured_failure_is_swallowed(monkeypatch):
+    """A plain single-host run must keep working when auto-init raises
+    (multihost.py:36-44)."""
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    initialize_multihost()  # must not raise
+
+
+def test_configured_failure_propagates(monkeypatch):
+    """With an explicit multi-process configuration, a failed init is an
+    error the user must see, not a silent single-host fallback."""
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        initialize_multihost("host0:1234", 4, 0)
+
+
+def test_bad_env_value(monkeypatch, recorded):
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "not-a-number")
+    with pytest.raises(ValueError):
+        initialize_multihost()
