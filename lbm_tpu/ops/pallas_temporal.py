@@ -1,36 +1,45 @@
-"""Temporally-blocked Pallas kernel: TWO timesteps per HBM pass.
+"""Temporally-blocked Pallas kernel: T timesteps per HBM pass.
 
 Large grids (state > VMEM) are HBM-bandwidth-bound: the block-streaming
 kernel moves 19 row-planes per step (9 read + 9 written + mask). Classic
-temporal blocking halves that: each row block is read once, advanced TWO
-timesteps in VMEM, and written once — ~9.7 row-planes per step.
+temporal blocking divides that by the depth T: each row block is read once,
+advanced T timesteps entirely in VMEM, and written once — ~(19/T + ε)
+row-planes per step. This generalizes the round-1 depth-2 kernel to any
+T >= 2 (the wavefront/trapezoid scheme for the reference's hot loop,
+kernels.cl:44-201) and supports bf16 storage (f32 arithmetic in-kernel).
 
-Mechanics (generalizing pallas_step's carried-halo design to depth 2):
+Mechanics (generalizing pallas_step's carried-halo design to depth T):
 
-- the loop carry holds, per block, its input's first-2 and last-2 rows of
-  all 9 planes (``(nblk, 18, nx)`` top/bottom arrays); block i reads its
-  neighbors' slots via modular index maps to build a ``(B+4)``-row extended
-  tile;
-- step 1 computes the intermediate state on the interior ``B+2`` rows; step
-  2 consumes it for the central ``B`` output rows. The row-(ny-2) forcing is
-  applied to whichever buffer (extended input, then intermediate) contains
-  that global row, with masks recomputed from the respective pre-forcing
-  values — exactly the reference's accelerate-before-stream ordering for
-  both steps;
-- the kernel emits the OUTPUT's boundary row-pairs as side outputs (= the
-  next pass's input halos) and one ``(nblk, 2)`` SMEM partial-sum pair (the
-  per-step reductions; step 1's sum uses only the central B rows to avoid
-  double counting across blocks).
+- the loop carry holds, per block, its input's first-T and last-T rows of
+  all 9 planes (``(nblk, 9T, nx)`` packed arrays, plane k at rows
+  [Tk, Tk+T)); block i reads its neighbors' slots via modular BlockSpec
+  index maps to build a ``(B+2T)``-row extended tile;
+- step s (s = 1..T) consumes a ``B + 2(T-s+1)``-row buffer and produces a
+  ``B + 2(T-s)``-row one; step T yields exactly the central B output rows.
+  Each step's global-row bookkeeping: the step-s input buffer covers global
+  rows ``r0-u .. r0+B+u-1`` with ``u = T-s+1``;
+- the row-(ny-2) forcing (kernels.cl:7-42) is applied to every copy of that
+  global row in the step's input buffer, with masks recomputed from the
+  respective pre-forcing values — exactly the reference's
+  accelerate-before-stream ordering for every one of the T steps. Row ny-2
+  appears at offset ``B+u-2`` for the last block (interior copy) and at
+  offset ``u-2`` for block 0 (wrap copy in the above-halo, present iff
+  u >= 2); no other copies exist for B >= 8 > T+2 (see the offset analysis
+  in the repo history / tests);
+- the kernel emits the OUTPUT's boundary row-T-packs as side outputs (= the
+  next pass's input halos) and one ``(nblk, T)`` SMEM partial-sum row (the
+  per-step reductions; each step's sum uses only the central B rows so each
+  global row is counted exactly once across blocks).
 
-The driver runs ``n_iters // 2`` fused passes; an odd trailing step falls
-back to the single-step kernel. Constraint: B >= 8 and the forcing row
-ny-2 must not sit in the outermost halo rows' wrap-ambiguous positions —
-satisfied for all B >= 8 with B | ny (ny-2 ≡ B-2 mod B).
+The driver runs ``n_iters // T`` fused passes; a trailing remainder of
+``n_iters % T`` steps falls back to the single-step block kernel.
+Constraints: nx % 128 == 0, B | ny, B >= 8 (16 for bf16), T <= ny - 2.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,17 +55,31 @@ _FCY = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
 _WS = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
 _OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
 
-
-def temporal_supported(ny: int, nx: int, block: int) -> bool:
-    return nx % 128 == 0 and ny % block == 0 and block >= 8 and ny // block >= 1
+DEFAULT_DEPTH = 2
 
 
-def _kernel(cells_ref, top_ref, bot_ref, nobst2_ref, owner_ref,
+def _sublane_tile(dtype) -> int:
+    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+
+
+def temporal_supported(ny: int, nx: int, block: int, depth: int = 2,
+                       dtype=jnp.float32) -> bool:
+    tile = _sublane_tile(dtype)
+    return (
+        nx % 128 == 0
+        and block % tile == 0
+        and ny % block == 0
+        and block >= 8
+        and 2 <= depth <= min(block, ny - 2)
+    )
+
+
+def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             out_ref, top_out_ref, bot_out_ref, sums_ref,
-            *, block: int, nblk: int, ny: int, nx: int,
-            w1a: float, w2a: float, omega: float):
+            *, block: int, nblk: int, depth: int, nx: int,
+            w1a: float, w2a: float, omega: float, out_dtype):
     i = pl.program_id(0)
-    B = block
+    B, T = block, depth
 
     def east(p):
         return pltpu.roll(p, 1, 1)
@@ -64,14 +87,21 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst2_ref, owner_ref,
     def west(p):
         return pltpu.roll(p, nx - 1, 1)
 
-    # nobst2_ref block covers rows [r0-2, r0+B+2) plus 4 alignment pad rows
-    # (built by the driver with wrap), so all masks slice from it.
-    nob_ext = nobst2_ref[...][: B + 4].astype(jnp.float32)  # (B+4, nx)
-    nob_mid = nob_ext[2 : B + 2]
+    # nobst_ref block covers rows r0-T .. r0+B+T-1 (built by the driver with
+    # wrap) plus alignment pad rows; all step masks slice from it.
+    nob_all = nobst_ref[...][: B + 2 * T].astype(jnp.float32)  # (B+2T, nx)
+    nob_mid = nob_all[T : T + B]
     owner = owner_ref[0, 0]
+    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
+    gate_first = jnp.where(i == 0, 1.0, 0.0)
+    # Global row ny-2's obstacle mask: interior copy (owner block) and the
+    # block-0 above-halo wrap copy hold the same row, so one slice serves
+    # both forcing sites.
+    nob_force_owner = nob_all[B + T - 2 : B + T - 1]
+    nob_force_first = nob_all[T - 2 : T - 1] if T >= 2 else nob_force_owner
 
     def collide_from(t):
-        """(relaxed 9-tuple pre-mask, u_sq) from streamed values."""
+        """(relaxed 9-tuple pre-mask, u_sq, streamed t) — kernels.cl:109-196."""
         rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
         inv_rho = 1.0 / rho
         u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
@@ -92,29 +122,15 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst2_ref, owner_ref,
             out.append(t[k] + omega * (feq - t[k]))
         return tuple(out), u_sq, t
 
-    # ---- build the (B+4)-row extended input: rows r0-2 .. r0+B+2 ----------
-    # top_ref = neighbor (i-1)'s LAST-2 input rows; bot_ref = (i+1)'s FIRST-2.
-    ext = tuple(
-        jnp.concatenate(
-            [top_ref[0, 2 * k : 2 * k + 2], cells_ref[k], bot_ref[0, 2 * k : 2 * k + 2]],
-            axis=0,
-        )
-        for k in range(9)
-    )
-    # Forcing for step 1: global row ny-2 appears in the extended tile at
-    # offset B for the owner block (i == nblk-1, interior) AND at offset 0
-    # for block 0 (whose above-halo rows are ny-2, ny-1 via wrap). Each copy
-    # is forced independently (they feed disjoint pull paths).
-    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0)
-    gate_first = jnp.where(i == 0, 1.0, 0.0)
-
-    def force_traced(planes, n_rows, pos, nob_row, gate):
+    def force(planes, n_rows, pos, nob_row, gate):
+        """Accelerate-flow at buffer row ``pos`` (kernels.cl:21-41), masked by
+        the joint positivity condition recomputed from the current values."""
         ok = (
             (planes[3][pos : pos + 1] - w1a > 0.0)
             & (planes[6][pos : pos + 1] - w2a > 0.0)
             & (planes[7][pos : pos + 1] - w2a > 0.0)
         ).astype(jnp.float32)
-        m_row = ok * nob_row * owner * gate
+        m_row = ok * nob_row * gate
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
         sel = (rows_i == pos).astype(jnp.float32)
         am = sel * m_row
@@ -130,208 +146,241 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst2_ref, owner_ref,
             planes[8] + w2a * am,
         )
 
-    ext = force_traced(ext, B + 4, B, nob_ext[B : B + 1], gate_last)
-    ext = force_traced(ext, B + 4, 0, nob_ext[0:1], gate_first)
-
-    # ---- step 1: intermediate rows r0-1 .. r0+B+1 (B+2 rows) --------------
-    def pull1(k):
-        cy, cx = _CYS[k], _CXS[k]
-        lo = 1 - cy  # window start within ext for the intermediate range
-        p = ext[k][lo : lo + B + 2]
-        if cx == 1:
-            p = east(p)
-        elif cx == -1:
-            p = west(p)
-        return p
-
-    relaxed1, usq1, t1 = collide_from(tuple(pull1(k) for k in range(9)))
-    nob_inter = nob_ext[1 : B + 3]  # rows r0-1 .. r0+B+1
-    obst_inter = 1.0 - nob_inter
-    inter = tuple(
-        nob_inter * relaxed1[k] + obst_inter * t1[_OPP[k]] for k in range(9)
+    # ---- build the (B+2T)-row extended input: rows r0-T .. r0+B+T-1 -------
+    # top_ref = neighbor (i-1)'s LAST-T input rows; bot_ref = (i+1)'s FIRST-T.
+    buf = tuple(
+        jnp.concatenate(
+            [
+                top_ref[0, T * k : T * k + T].astype(jnp.float32),
+                cells_ref[k].astype(jnp.float32),
+                bot_ref[0, T * k : T * k + T].astype(jnp.float32),
+            ],
+            axis=0,
+        )
+        for k in range(9)
     )
-    # step-1 reduction over the CENTRAL B rows only (offset 1..B+1)
-    sums_ref[i, 0] = jnp.sum(nob_mid * jnp.sqrt(usq1[1 : B + 1]))
 
-    # Forcing for step 2: the intermediate covers rows r0-1..r0+B; global
-    # ny-2 appears only in the owner block, at offset 1 + (B-2) = B-1.
-    inter = force_traced(inter, B + 2, B - 1, nob_ext[B : B + 1], gate_last)
+    # ---- T fused steps ------------------------------------------------------
+    for s in range(1, T + 1):
+        u = T - s + 1          # input halo depth this step
+        n_in = B + 2 * u
+        n_out = B + 2 * (u - 1)
+        # Forcing on every copy of global row ny-2 in this step's input.
+        buf = force(buf, n_in, B + u - 2, nob_force_owner, gate_last)
+        if u >= 2:
+            buf = force(buf, n_in, u - 2, nob_force_first, gate_first)
 
-    # ---- step 2: output rows r0 .. r0+B ------------------------------------
-    def pull2(k):
-        cy, cx = _CYS[k], _CXS[k]
-        lo = 1 - cy
-        p = inter[k][lo : lo + B]
-        if cx == 1:
-            p = east(p)
-        elif cx == -1:
-            p = west(p)
-        return p
+        def pull(k, buf=buf, n_out=n_out):
+            cy, cx = _CYS[k], _CXS[k]
+            lo = 1 - cy  # output row o pulls input row o + 1 - cy
+            p = buf[k][lo : lo + n_out]
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
 
-    relaxed2, usq2, t2 = collide_from(tuple(pull2(k) for k in range(9)))
-    obst_mid = 1.0 - nob_mid
-    res = []
+        relaxed, usq, t = collide_from(tuple(pull(k) for k in range(9)))
+        nob_out = nob_all[s : s + n_out]
+        obst_out = 1.0 - nob_out
+        buf = tuple(
+            nob_out * relaxed[k] + obst_out * t[_OPP[k]] for k in range(9)
+        )
+        # Per-step reduction over the CENTRAL B rows only (each global row
+        # counted by exactly one block).
+        c0 = u - 1
+        sums_ref[i, s - 1] = jnp.sum(nob_mid * jnp.sqrt(usq[c0 : c0 + B]))
+
+    # ---- outputs -------------------------------------------------------------
     for k in range(9):
-        val = nob_mid * relaxed2[k] + obst_mid * t2[_OPP[k]]
+        val = buf[k].astype(out_dtype)
         out_ref[k] = val
-        res.append(val)
-    sums_ref[i, 1] = jnp.sum(nob_mid * jnp.sqrt(usq2))
-
-    # ---- side outputs: the OUTPUT's boundary row-pairs ---------------------
-    for k in range(9):
-        top_out_ref[0, 2 * k : 2 * k + 2] = res[k][0:2]
-        bot_out_ref[0, 2 * k : 2 * k + 2] = res[k][B - 2 : B]
+        # Side outputs: the OUTPUT's boundary row-packs (= next pass's halos).
+        top_out_ref[0, T * k : T * k + T] = val[0:T]
+        bot_out_ref[0, T * k : T * k + T] = val[B - T : B]
 
 
 @functools.lru_cache(maxsize=None)
-def _make_call(ny, nx, block, w1a, w2a, omega, interpret):
+def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
+    dtype = jnp.dtype(dtype_name)
     nblk = ny // block
+    T = depth
+    tile = _sublane_tile(dtype)
+    mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
-        _kernel, block=block, nblk=nblk, ny=ny, nx=nx,
-        w1a=w1a, w2a=w2a, omega=omega,
+        _kernel, block=block, nblk=nblk, depth=T, nx=nx,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
     )
     return pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            # (i-1)'s bottom-2 rows of the INPUT state, 9 planes packed on
-            # the second axis; (i+1)'s top-2 rows likewise.
-            pl.BlockSpec((1, 18, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 18, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block + 8, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # (i-1)'s LAST-T input rows of the 9 planes, packed on the second
+            # axis; (i+1)'s FIRST-T rows likewise.
+            pl.BlockSpec((1, 9 * T, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 18, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 18, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 18, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 18, nx), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, 2), jnp.float32),
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 9 * T, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 9 * T, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
         ],
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(
+            # Live set ≈ the step-buffer chain (decreasing sizes) + the
+            # double-buffered in/out blocks; generous headroom, hard-capped.
             vmem_limit_bytes=min(
-                120 * 1024 * 1024, 30 * (9 * block * nx * 4) + 16 * 1024 * 1024
+                120 * 1024 * 1024,
+                (T + 4) * (9 * (block + 2 * T) * nx * 4) + 16 * 1024 * 1024,
             ),
         ),
         interpret=interpret,
     )
 
 
-def make_halos2(cells, block):
-    """Initial depth-2 halo arrays, indexed by producer block: ``bot2[j]`` =
-    block j's FIRST-2 rows (consumed by j-1 as its below-halo); ``top2[j]`` =
-    block j's LAST-2 rows (consumed by j+1 as its above-halo). Packed
-    ``(nblk, 18, nx)`` with plane k at rows [2k, 2k+2)."""
+def make_halos_t(cells, block, depth):
+    """Initial depth-T halo arrays, indexed by producer block: ``bot[j]`` =
+    block j's FIRST-T rows (consumed by j-1 as its below-halo); ``top[j]`` =
+    block j's LAST-T rows (consumed by j+1 as its above-halo). Packed
+    ``(nblk, 9T, nx)`` with plane k at rows [Tk, Tk+T)."""
     nblk = cells.shape[1] // block
-    tops = []  # last-2 rows per block
-    bots = []  # first-2 rows per block
+    T = depth
+    tops = []
+    bots = []
     for k in range(9):
         plane = cells[k].reshape(nblk, block, cells.shape[2])
-        tops.append(plane[:, block - 2 :, :])
-        bots.append(plane[:, :2, :])
-    top2 = jnp.concatenate(tops, axis=1)  # (nblk, 18, nx) — plane-major rows
-    bot2 = jnp.concatenate(bots, axis=1)
-    # Reorder to plane-k-at-[2k,2k+2): concatenate gave k-blocks of 2 rows in
-    # order already (k-major) — correct as built.
-    return top2, bot2
+        tops.append(plane[:, block - T :, :])
+        bots.append(plane[:, :T, :])
+    top = jnp.concatenate(tops, axis=1)  # (nblk, 9T, nx), plane-major packs
+    bot = jnp.concatenate(bots, axis=1)
+    return top, bot
 
 
-def nobst_ext(nobst, block):
-    """(nblk*(B+8), nx) stacked per-block masks covering rows r0-2..r0+B+2
-    with wrap, plus 4 pad rows per block for sublane alignment — BlockSpec
-    (B+8, nx) @ (i, 0) slices block i's."""
+def nobst_ext(nobst, block, depth, dtype=jnp.float32):
+    """(nblk*(B+2T+pad), nx) stacked per-block masks covering rows
+    r0-T..r0+B+T-1 with wrap, plus pad rows per block for sublane alignment —
+    BlockSpec (B+2T+pad, nx) @ (i, 0) slices block i's."""
     ny, nx = nobst.shape
     nblk = ny // block
+    T = depth
+    tile = _sublane_tile(dtype)
+    pad = (-(block + 2 * T)) % tile
     rows = []
     for j in range(nblk):
         r0 = j * block
-        idx = (
-            [(r0 - 2) % ny, (r0 - 1) % ny]
-            + list(range(r0, r0 + block))
-            + [(r0 + block) % ny, (r0 + block + 1) % ny]
-        )
-        rows.append(nobst[jnp.asarray(idx)])
-        rows.append(jnp.zeros((4, nx), nobst.dtype))
+        idx = [(r0 + r) % ny for r in range(-T, block + T)]
+        rows.append(nobst[jnp.asarray(idx)].astype(dtype))
+        if pad:
+            rows.append(jnp.zeros((pad, nx), dtype))
     return jnp.concatenate(rows, axis=0)
 
 
-def step2_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
-                 *, interpret=False):
-    """Advance TWO timesteps. ``state`` = (cells, last2, first2) where the
-    halo arrays are indexed by producer block (see make_halos2).
+def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
+                  depth, *, interpret=False):
+    """Advance T timesteps. ``state`` = (cells, last_t, first_t) where the
+    halo arrays are indexed by producer block (see make_halos_t).
 
-    Returns ``(state', (tot_u_step1, tot_u_step2))``.
+    Returns ``(state', (tot_u_step1, ..., tot_u_stepT))``.
     """
-    cells, last2, first2 = state
+    cells, last_t, first_t = state
     _, ny, nx = cells.shape
     call = _make_call(
-        ny, nx, block,
+        ny, nx, block, depth,
         float(density * accel / 9.0),
         float(density * accel / 36.0),
         float(omega),
         bool(interpret),
+        cells.dtype.name,
     )
-    out, first_o, last_o, sums = call(cells, last2, first2, nob_ext_arr, owner)
-    # Kernel side outputs: top_out = the block's FIRST-2 output rows,
-    # bot_out = its LAST-2 — i.e. the next pass's first2/last2 arrays.
-    return (out, last_o, first_o), (jnp.sum(sums[:, 0]), jnp.sum(sums[:, 1]))
+    out, first_o, last_o, sums = call(cells, last_t, first_t, nob_ext_arr, owner)
+    # Kernel side outputs: top_out = the block's FIRST-T output rows,
+    # bot_out = its LAST-T — i.e. the next pass's first_t/last_t arrays.
+    return (out, last_o, first_o), tuple(jnp.sum(sums[:, s]) for s in range(depth))
 
 
 def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
-                 *, interpret=False):
-    """Run ``n_iters`` steps, two per HBM pass; an odd trailing step uses the
-    single-step block kernel. Returns ``(final_cells, tot_u_series)``."""
+                 depth: int = DEFAULT_DEPTH, *, interpret=False):
+    """Run ``n_iters`` steps, T per HBM pass; the trailing ``n_iters % T``
+    steps use the single-step block kernel. Returns
+    ``(final_cells, tot_u_series)``. Storage dtype follows ``cells``
+    (f32 or bf16); arithmetic is f32 in-kernel either way."""
     from lbm_tpu.ops import pallas_step as PS
 
     _, ny, nx = cells.shape
-    cells = cells.astype(jnp.float32)
-    last2, first2 = make_halos2(cells, block)
-    nob_ext_arr = nobst_ext(nobst.astype(jnp.float32), block)
+    T = depth
+    if not temporal_supported(ny, nx, block, T, cells.dtype):
+        raise ValueError(
+            f"temporal kernel unsupported: grid {ny}x{nx}, block {block}, "
+            f"depth {T}, dtype {cells.dtype.name}"
+        )
+    last_t, first_t = make_halos_t(cells, block, T)
+    nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
     owner = jnp.ones((1, 1), jnp.float32)
 
-    npairs = n_iters // 2
+    npasses = n_iters // T
     tot_u = jnp.zeros((n_iters,), jnp.float32)
 
     def body(j, carry):
         state, tot_u = carry
-        state, (s1, s2) = step2_pallas(
-            state, nob_ext_arr, owner, density, accel, omega, block,
+        state, sums = step_t_pallas(
+            state, nob_ext_arr, owner, density, accel, omega, block, T,
             interpret=interpret,
         )
         tot_u = jax.lax.dynamic_update_slice(
-            tot_u, jnp.stack([s1, s2]), (2 * j,)
+            tot_u, jnp.stack(sums), (T * j,)
         )
         return state, tot_u
 
-    state = (cells, last2, first2)
-    if npairs:
-        state, tot_u = jax.lax.fori_loop(0, npairs, body, (state, tot_u))
+    state = (cells, last_t, first_t)
+    if npasses:
+        state, tot_u = jax.lax.fori_loop(0, npasses, body, (state, tot_u))
     cells = state[0]
-    if n_iters % 2:
-        if interpret:
-            step = PS.lbm_step_pallas_interpret
-        else:
-            step = PS.lbm_step_pallas
-        nob_plain = nobst.astype(jnp.float32)
-        cells, s = step(cells, nob_plain, density, accel, omega)
-        tot_u = tot_u.at[n_iters - 1].set(s)
+    rem = n_iters % T
+    if rem:
+        step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
+        nob_plain = nobst.astype(cells.dtype)
+        carry = step.init_state(cells)
+        for r in range(rem):
+            carry, s = step(carry, nob_plain, density, accel, omega)
+            tot_u = tot_u.at[n_iters - rem + r].set(s)
+        cells = step.extract(carry)
     return cells, tot_u
 
 
-def pick_block(ny: int, nx: int) -> int | None:
-    """Temporal-kernel block height (B=16 measured fastest: 8192^2
-    6,128 vs 4,983 MLUPS at B=8; 2048^2 6,272 vs 4,935)."""
+def pick_block(ny: int, nx: int, depth: int = DEFAULT_DEPTH,
+               dtype=jnp.float32) -> int | None:
+    """Temporal-kernel block height (B=16 measured fastest at depth 2:
+    8192^2 6,128 vs 4,983 MLUPS at B=8; 2048^2 6,272 vs 4,935).
+    ``LBM_TEMPORAL_BLOCK`` overrides for sweeps."""
     if nx % 128 != 0:
         return None
-    for b in (16, 8):
-        if ny % b == 0:
+    tile = _sublane_tile(dtype)
+    override = os.environ.get("LBM_TEMPORAL_BLOCK")
+    if override:
+        b = int(override)
+        return b if temporal_supported(ny, nx, b, depth, dtype) else None
+    for b in (16, 8) if tile == 8 else (16,):
+        if temporal_supported(ny, nx, b, depth, dtype):
             return b
     return None
+
+
+def pick_depth(ny: int, nx: int, dtype=jnp.float32) -> int:
+    """Fused-pass depth. ``LBM_TEMPORAL_DEPTH`` overrides for sweeps;
+    default stays at the measured round-1 sweet spot until a deeper pass
+    wins an A/B on hardware (BENCHMARKS.md tracks this)."""
+    override = os.environ.get("LBM_TEMPORAL_DEPTH")
+    if override:
+        return int(override)
+    return DEFAULT_DEPTH

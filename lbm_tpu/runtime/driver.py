@@ -83,22 +83,24 @@ def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
 
 
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
-    """Whether to use the temporally-blocked (2-steps-per-pass) kernel.
+    """Whether to use the temporally-blocked (T-steps-per-pass) kernel.
 
     Returns None (don't) or the ``interpret`` flag. ``auto`` uses it on TPU
-    for HBM-bound grids (too big for the resident kernel): it halves HBM
-    traffic (measured ~1.5-2x at 2048^2-8192^2). ``temporal`` forces it.
-    """
+    for HBM-bound grids (too big for the resident kernel): it divides HBM
+    traffic by the pass depth (measured ~1.5-2x at 2048^2-8192^2 for T=2).
+    ``temporal`` forces it. Storage may be f32 or bf16 (f64 is rejected:
+    the kernel computes in f32)."""
     if backend not in ("auto", "temporal"):
         return None
-    if dtype == jnp.bfloat16 or dtype == jnp.float64:
+    if dtype == jnp.float64:
         if backend == "temporal":
-            raise ValueError("temporal backend is f32-only")
+            raise ValueError("temporal backend stores f32/bf16 only")
         return None
     from lbm_tpu.ops.pallas_resident import resident_supported
-    from lbm_tpu.ops.pallas_temporal import pick_block
+    from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
 
-    fits = pick_block(params.ny, params.nx) is not None
+    depth = pick_depth(params.ny, params.nx, dtype)
+    fits = pick_block(params.ny, params.nx, depth, dtype) is not None
     on_tpu = jax.devices()[0].platform == "tpu"
     if backend == "temporal":
         if not fits:
@@ -106,7 +108,12 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
                 f"grid {params.ny}x{params.nx} unsupported by the temporal kernel"
             )
         return not on_tpu
-    if fits and on_tpu and not resident_supported(params.ny, params.nx, dtype):
+    # auto: HBM-bound grids only — the VMEM-resident kernel wins when the f32
+    # state fits on-chip (for bf16 the f32 footprint is the same capacity
+    # proxy; small bf16 grids stay on the block kernel).
+    if fits and on_tpu and not resident_supported(
+        params.ny, params.nx, jnp.float32
+    ):
         return False
     return None
 
@@ -209,17 +216,22 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "density", "accel", "omega", "interpret"),
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth"),
     donate_argnums=(0,),
 )
-def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, interpret):
-    from lbm_tpu.ops.pallas_temporal import pick_block, run_temporal
+def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+                  interpret, block, depth):
+    # block/depth are resolved by the caller OUTSIDE jit (env overrides like
+    # LBM_TEMPORAL_DEPTH must key the jit cache, not be read under a trace).
+    from lbm_tpu.ops.pallas_temporal import run_temporal
 
-    nobst = (obstacles == 0).astype(jnp.float32)
-    block = pick_block(cells.shape[1], cells.shape[2])
+    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
     cells, tot_u = run_temporal(
-        cells.astype(jnp.float32), nobst, density, accel, omega, n_iters,
-        block, interpret=interpret,
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, interpret=interpret,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -303,9 +315,15 @@ def run_simulation(
                 interpret=resident_interpret, **common,
             )
         if temporal_interpret is not None:
+            from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
+
+            t_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+            t_depth = pick_depth(params.ny, params.nx, t_dtype)
             return _run_temporal.lower(
                 cells, obstacles_dev, inv_tot_cells,
-                interpret=temporal_interpret, **common,
+                interpret=temporal_interpret,
+                block=pick_block(params.ny, params.nx, t_depth, t_dtype),
+                depth=t_depth, **common,
             )
         return _run_loop.lower(
             cells, obstacles_dev, inv_tot_cells, step_fn=step_fn, **common
