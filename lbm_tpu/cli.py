@@ -264,7 +264,8 @@ def main(argv=None) -> int:
 
         try:
             result = run_simulation_sharded_2d(
-                params, obstacles, mesh_shape=mesh_2d, dtype=dtype
+                params, obstacles, mesh_shape=mesh_2d, backend=args.backend,
+                dtype=dtype,
             )
         except ValueError as e:
             print(f"lbm_tpu: error: {e}", file=sys.stderr)

@@ -74,15 +74,28 @@ def pallas_supported(ny: int, nx: int) -> bool:
     return _pick_block(ny, nx) is not None
 
 
-def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
-            out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref,
-            *, block: int, nblk: int, w1a: float, w2a: float, omega: float,
-            out_dtype=jnp.float32):
+def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
+            out_dtype=jnp.float32, col_fix: bool = False):
     """One row-block of the fused step. See module docstring for the layout.
 
     w1a/w2a are the accelerate weights density*accel/9 and /36
     (kernels.cl:17-18); omega the BGK relaxation rate.
+
+    ``col_fix=True`` is the 2-D-mesh variant: the shard no longer holds full
+    lattice rows, so the lane-roll x-wrap is wrong in exactly one column per
+    direction; two extra ``(3, B, 1)`` inputs carry the x-neighbors' edge
+    columns (pre-aligned per plane by the sharding layer) and a lane-masked
+    select patches the wrapped column. Two extra side outputs emit this
+    block's NEW edge columns for the next step's exchange.
     """
+    if col_fix:
+        (cells_ref, halo_dn_ref, halo_up_ref, colL_ref, colR_ref,
+         nobst_ref, owner_ref,
+         out_ref, halo_dn_out_ref, halo_up_out_ref,
+         colL_out_ref, colR_out_ref, sums_ref) = refs
+    else:
+        (cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
+         out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref) = refs
     i = pl.program_id(0)
     # Storage may be bf16 (the opt-in halved-bandwidth mode); all arithmetic
     # is f32 in-kernel regardless.
@@ -136,6 +149,25 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     t6 = west(down(m[6], hd[2:3]))
     t7 = west(up(m[7], hu[1:2]))
     t8 = east(up(m[8], hu[2:3]))
+    if col_fix:
+        # 2-D mesh: the roll wrapped our OWN edge column into lane 0 (east)
+        # / lane nx-1 (west); replace it with the x-neighbor's column. The
+        # (3, B, 1) inputs are pre-aligned by the sharding layer: colL rows
+        # are the left shard's last column of planes (1, 5, 8) at pull rows
+        # (same / y-1 / y+1 — corners already spliced in); colR likewise for
+        # planes (3, 6, 7).
+        nx_l = m[0].shape[1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, nx_l), 1)
+        first = lanes == 0
+        last = lanes == nx_l - 1
+        cl = colL_ref[...].astype(jnp.float32)  # (3, B, 1)
+        cr = colR_ref[...].astype(jnp.float32)
+        t1 = jnp.where(first, cl[0], t1)
+        t5 = jnp.where(first, cl[1], t5)
+        t8 = jnp.where(first, cl[2], t8)
+        t3 = jnp.where(last, cr[0], t3)
+        t6 = jnp.where(last, cr[1], t6)
+        t7 = jnp.where(last, cr[2], t7)
     t = [t0, t1, t2, t3, t4, t5, t6, t7, t8]
 
     # --- moments (kernels.cl:109-134) --------------------------------------
@@ -176,6 +208,15 @@ def _kernel(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     halo_up_out_ref[0, 0:1] = res[4][0:1]
     halo_up_out_ref[0, 1:2] = res[7][0:1]
     halo_up_out_ref[0, 2:3] = res[8][0:1]
+    if col_fix:
+        # New edge columns for the next step's x-exchange: the right
+        # neighbor pulls our planes (1, 5, 8) last column; the left neighbor
+        # our planes (3, 6, 7) first column.
+        nxl = res[0].shape[1]
+        for j, k in enumerate((1, 5, 8)):
+            colL_out_ref[j] = res[k][:, nxl - 1 : nxl]
+        for j, k in enumerate((3, 6, 7)):
+            colR_out_ref[j] = res[k][:, 0:1]
 
     # --- per-block reduction (replaces tot_us + host sum) ------------------
     # sums_ref is the full (nblk, 1) SMEM accumulator, resident across the
@@ -228,6 +269,92 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="flo
         ),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pallas_call_2d(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="float32"):
+    """The col_fix variant (2-D mesh shards): two (3, ny, 1) edge-column
+    inputs and two matching side outputs around the 1-D call's signature."""
+    dtype = jnp.dtype(dtype_name)
+    nblk = ny // block
+    kern = functools.partial(
+        _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
+        out_dtype=dtype, col_fix=True,
+    )
+    col_spec = pl.BlockSpec((3, block, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    col_shape = jax.ShapeDtypeStruct((3, ny, 1), dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM
+            ),
+            col_spec,
+            col_spec,
+            pl.BlockSpec((block, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            col_spec,
+            col_spec,
+            pl.BlockSpec((nblk, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 3, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 3, nx), dtype),
+            col_shape,
+            col_shape,
+            jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                120 * 1024 * 1024, 5 * (9 * block * nx * 4) + 8 * 1024 * 1024
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def _step_carry_2d(state, nobst, density, accel, omega, *, interpret=False,
+                   owner=None):
+    """One fused timestep on a 2-D-mesh shard: the carry is
+    ``(cells, halo_dn, halo_up, colfixL, colfixR)`` where the colfix arrays
+    are the pre-aligned x-neighbor edge columns (see the sharding layer).
+
+    Returns ``((cells', halo_dn', halo_up', colL_out, colR_out), tot_u)`` —
+    note the RAW new edge columns are returned (the sharding layer exchanges
+    and re-aligns them into the next step's colfix arrays).
+    """
+    cells, halo_dn, halo_up, colfixL, colfixR = state
+    _, ny, nx = cells.shape
+    block = _pick_block(ny, nx, cells.dtype)
+    if block is None:
+        raise ValueError(f"grid {ny}x{nx} unsupported by the pallas kernel")
+    call = _make_pallas_call_2d(
+        ny, nx, block,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        dtype_name=cells.dtype.name,
+    )
+    if owner is None:
+        owner = jnp.ones((1, 1), jnp.float32)
+    new_cells, new_dn, new_up, colL_out, colR_out, partials = call(
+        cells, halo_dn, halo_up, colfixL, colfixR, nobst, owner
+    )
+    return (new_cells, new_dn, new_up, colL_out, colR_out), jnp.sum(partials)
 
 
 def make_halos(cells, block):

@@ -229,28 +229,186 @@ def lbm_step_sharded_2d(cells, obstacles, density, accel, omega, ny_global):
     return new_cells, jax.lax.psum(jax.lax.psum(tot_u_local, AXIS), AXIS_X)
 
 
-def build_sharded_loop_2d(mesh: Mesh, params: LBMParams):
-    """The jitted 2-D-mesh run (jnp step; the fused kernel per shard is the
-    1-D path's specialty — on a 2-D mesh the x-wrap is no longer a local
-    lane roll)."""
+def _exchange_scalar_pair_x(vals, direction: int):
+    """ppermute a tiny stacked array one step around the x-ring."""
+    n = jax.lax.axis_size(AXIS_X)
+    perm = [(i, (i + direction) % n) for i in range(n)]
+    return jax.lax.ppermute(vals, AXIS_X, perm)
+
+
+def _force_edge_cols(colL, colR, cells, nobst, density, accel, owner_row):
+    """Apply the row-(ny-2) forcing to the OUTGOING edge columns before the
+    x-exchange (the receiving shard streams from these values AFTER its own
+    in-kernel forcing, so the sender — who holds all 9 planes at the edge
+    cell — must pre-force them). ``colL`` = planes (1,5,8) last column,
+    ``colR`` = planes (3,6,7) first column, each (3, ny_l, 1)."""
+    dtype = colL.dtype
+    ny_l = cells.shape[1]
+    w1 = jnp.asarray(density * accel / 9.0, jnp.float32)
+    w2 = jnp.asarray(density * accel / 36.0, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, ny_l, 1), 1)
+    row_sel = (rows == ny_l - 2).astype(jnp.float32)
+
+    def mask_at(x):
+        ok = (
+            (cells[3, ny_l - 2, x].astype(jnp.float32) - w1 > 0.0)
+            & (cells[6, ny_l - 2, x].astype(jnp.float32) - w2 > 0.0)
+            & (cells[7, ny_l - 2, x].astype(jnp.float32) - w2 > 0.0)
+        ).astype(jnp.float32)
+        return ok * nobst[ny_l - 2, x].astype(jnp.float32) * owner_row
+
+    dL = jnp.stack([w1, w2, w2]).reshape(3, 1, 1) * row_sel * mask_at(-1)
+    dR = jnp.stack([w1, w2, w2]).reshape(3, 1, 1) * row_sel * mask_at(0)
+    return (
+        (colL.astype(jnp.float32) + dL).astype(dtype),
+        (colR.astype(jnp.float32) - dR).astype(dtype),
+    )
+
+
+def _exchange_and_align_cols(colL, colR, dn, up, nblk):
+    """x-exchange the new edge columns and splice in the four corner values
+    (edge elements of the y-halo rows, which live on the x-neighbors), then
+    re-align each plane's column to its pull row:
+
+    - plane 1 pulls (y,   x-1): aligned as-is;
+    - plane 5 pulls (y-1, x-1): row r uses the left column's row r-1 (row 0
+      = up-left corner);
+    - plane 8 pulls (y+1, x-1): row r uses row r+1 (last row = down-left
+      corner); mirrored for planes 3/6/7 on the right."""
+    recvL = _exchange_cols(colL, +1)  # from the left shard
+    recvR = _exchange_cols(colR, -1)  # from the right shard
+    nx_l = dn.shape[2]
+    # Corner sources: halo_dn slot nblk-1 = up-neighbor's last row of planes
+    # (2,5,6); halo_up slot 0 = down-neighbor's first row of planes (4,7,8).
+    right_going = jnp.stack(
+        [dn[nblk - 1, 1, nx_l - 1], up[0, 2, nx_l - 1]]
+    )  # plane 5 / plane 8 edge values, needed by our RIGHT neighbor
+    left_going = jnp.stack([dn[nblk - 1, 2, 0], up[0, 1, 0]])  # planes 6 / 7
+    c5, c8 = _exchange_scalar_pair_x(right_going, +1)
+    c6, c7 = _exchange_scalar_pair_x(left_going, -1)
+    one = lambda v: v.reshape(1, 1)
+    colfixL = jnp.stack(
+        [
+            recvL[0],
+            jnp.concatenate([one(c5), recvL[1][:-1]], axis=0),
+            jnp.concatenate([recvL[2][1:], one(c8)], axis=0),
+        ]
+    )
+    colfixR = jnp.stack(
+        [
+            recvR[0],
+            jnp.concatenate([one(c6), recvR[1][:-1]], axis=0),
+            jnp.concatenate([recvR[2][1:], one(c7)], axis=0),
+        ]
+    )
+    return colfixL, colfixR
+
+
+def make_sharded_pallas_step_2d(interpret: bool = False):
+    """The fused Pallas kernel as the per-shard step on a 2-D (y, x) mesh.
+
+    The kernel runs with ``col_fix=True``: its lane-roll x-wrap is patched in
+    the wrapped column with the x-neighbor's edge column (VERDICT r1 item 3).
+    Per step, the exchanges are: the 1-D y-ring halo-slot ppermutes, one
+    x-ring ppermute of 3 edge columns per direction, and one x-ring ppermute
+    of 2 corner scalars per direction — all inside the jitted loop.
+
+    The carry is ``(cells, halo_dn, halo_up, colfixL, colfixR)``; exposes an
+    extended ``init_state(cells, nobst, density, accel)`` used by
+    ``build_sharded_loop_2d`` (the forcing pre-fix on outgoing columns needs
+    the physics constants)."""
+    from lbm_tpu.ops import pallas_step as PS
+
+    def owner_row():
+        py = jax.lax.axis_size(AXIS)
+        return (jax.lax.axis_index(AXIS) == py - 1).astype(jnp.float32)
+
+    def step(state, nobst, density, accel, omega):
+        owner = owner_row().reshape(1, 1)
+        (cells, dn, up, colL_out, colR_out), tot_local = PS._step_carry_2d(
+            state, nobst, density, accel, omega, interpret=interpret, owner=owner
+        )
+        dn, up = _exchange_boundary_slots(dn, up)
+        colL_out, colR_out = _force_edge_cols(
+            colL_out, colR_out, cells, nobst, density, accel, owner_row()
+        )
+        colfixL, colfixR = _exchange_and_align_cols(
+            colL_out, colR_out, dn, up, dn.shape[0]
+        )
+        return (cells, dn, up, colfixL, colfixR), jax.lax.psum(
+            jax.lax.psum(tot_local, AXIS), AXIS_X
+        )
+
+    def init_state(cells_local, nobst, density, accel):
+        cells_local = cells_local.astype(jnp.float32)
+        block = PS._pick_block(cells_local.shape[1], cells_local.shape[2])
+        if block is None:
+            raise ValueError(
+                f"local grid {cells_local.shape[1]}x{cells_local.shape[2]} "
+                "unsupported by the pallas kernel"
+            )
+        dn, up = PS.make_halos(cells_local, block)
+        dn, up = _exchange_boundary_slots(dn, up)
+        colL = jnp.stack([cells_local[k][:, -1:] for k in (1, 5, 8)])
+        colR = jnp.stack([cells_local[k][:, :1] for k in (3, 6, 7)])
+        colL, colR = _force_edge_cols(
+            colL, colR, cells_local, nobst, density, accel, owner_row()
+        )
+        colfixL, colfixR = _exchange_and_align_cols(colL, colR, dn, up, dn.shape[0])
+        return cells_local, dn, up, colfixL, colfixR
+
+    step.init_state_2d = init_state
+    step.extract = lambda state: state[0]
+    step.prepare = PS._prepare_obstacles
+    return step
+
+
+def build_sharded_loop_2d(mesh: Mesh, params: LBMParams, step_fn=None):
+    """The jitted 2-D-mesh run. ``step_fn`` None = the jnp per-shard step;
+    the fused-kernel step (``make_sharded_pallas_step_2d``) plugs in via the
+    extended init protocol."""
     ny_global = params.ny
     density = float(params.density)
     accel = float(params.accel)
     omega = float(params.omega)
     n_iters = params.max_iters
 
+    prepare = getattr(step_fn, "prepare", None) if step_fn is not None else None
+    init_state_2d = (
+        getattr(step_fn, "init_state_2d", None) if step_fn is not None else None
+    )
+    extract = getattr(step_fn, "extract", None) if step_fn is not None else None
+
     def local_loop(cells, obstacles, inv_tot_cells):
-        av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+        av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+        av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
+        obstacles_prep = (
+            prepare(obstacles, cells.dtype) if prepare is not None else obstacles
+        )
+        state = (
+            init_state_2d(cells, obstacles_prep, density, accel)
+            if init_state_2d is not None
+            else cells
+        )
 
         def body(tt, carry):
-            cells, av_vels = carry
-            cells, tot_u = lbm_step_sharded_2d(
-                cells, obstacles, density, accel, omega, ny_global
+            state, av_vels = carry
+            if step_fn is None:
+                state, tot_u = lbm_step_sharded_2d(
+                    state, obstacles_prep, density, accel, omega, ny_global
+                )
+            else:
+                state, tot_u = step_fn(
+                    state, obstacles_prep, density, accel, omega
+                )
+            av_vels = av_vels.at[tt].set(
+                (tot_u * inv_tot_cells).astype(av_vels.dtype)
             )
-            av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
-            return cells, av_vels
+            return state, av_vels
 
-        return jax.lax.fori_loop(0, n_iters, body, (cells, av_vels))
+        state, av_vels = jax.lax.fori_loop(0, n_iters, body, (state, av_vels))
+        cells = extract(state) if extract is not None else state
+        return cells.astype(av_vels.dtype), av_vels
 
     shard = P(None, AXIS, AXIS_X)
     mapped = jax.shard_map(
@@ -268,6 +426,7 @@ def run_simulation_sharded_2d(
     obstacles: np.ndarray,
     *,
     mesh_shape: tuple[int, int],
+    backend: str = "auto",
     dtype=jnp.float32,
 ):
     """Run the full simulation over a 2-D ``(py, px)`` device mesh."""
@@ -277,6 +436,24 @@ def run_simulation_sharded_2d(
         raise ValueError(
             f"grid {params.ny}x{params.nx} not divisible by mesh {py}x{px}"
         )
+
+    step_fn = None
+    if backend in ("auto", "pallas") and dtype == jnp.float32:
+        from lbm_tpu.ops.pallas_step import pallas_supported
+
+        fits = pallas_supported(params.ny // py, params.nx // px)
+        on_tpu = mesh.devices.flat[0].platform == "tpu"
+        if backend == "pallas":
+            if not fits:
+                raise ValueError(
+                    f"local grid {params.ny // py}x{params.nx // px} does not "
+                    "fit the pallas kernel's tiling constraints"
+                )
+            step_fn = make_sharded_pallas_step_2d(interpret=not on_tpu)
+        elif on_tpu and fits:
+            step_fn = make_sharded_pallas_step_2d()
+    elif backend == "pallas":
+        raise ValueError("2-D-mesh pallas backend is f32-only")
 
     from lbm_tpu.runtime.driver import SimulationResult, sync
 
@@ -289,7 +466,7 @@ def run_simulation_sharded_2d(
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=dtype)
 
-    loop = build_sharded_loop_2d(mesh, params)
+    loop = build_sharded_loop_2d(mesh, params, step_fn=step_fn)
     t0 = time.perf_counter()
     compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
     compile_time = time.perf_counter() - t0

@@ -170,3 +170,64 @@ def test_sharded_checkpoint_resume(tmp_path, small_params, small_obstacles):
     )
     np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=1e-11)
     np.testing.assert_allclose(resumed.cells, full.cells, rtol=1e-11)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4), (4, 2)])
+def test_sharded_2d_pallas_matches_jnp(mesh_shape):
+    """The col_fix fused kernel on a 2-D mesh (x-neighbor column patches +
+    corner splices, interpret mode) agrees with the jnp 2-D step
+    (VERDICT r1 item 3)."""
+    from lbm_tpu.models.d2q9 import LBMParams
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    py, px = mesh_shape
+    p = LBMParams(
+        nx=128 * px, ny=8 * py, max_iters=4, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(3)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[rng.randint(1, p.ny - 1, 12), rng.randint(0, p.nx, 12)] = 1
+    # Obstacles pinned at the shard seams exercise the bounce-back across
+    # exchanged columns/corners.
+    obs[p.ny // py - 1, p.nx // px - 1] = 1
+    obs[p.ny // py, p.nx // px] = 1
+    jnp_res = run_simulation_sharded_2d(p, obs, mesh_shape=mesh_shape,
+                                        backend="reference")
+    pal_res = run_simulation_sharded_2d(p, obs, mesh_shape=mesh_shape,
+                                        backend="pallas")
+    np.testing.assert_allclose(pal_res.cells, jnp_res.cells, atol=2e-7)
+    np.testing.assert_allclose(pal_res.av_vels, jnp_res.av_vels, rtol=1e-5)
+
+
+def test_sharded_2d_pallas_matches_single_device():
+    """2-D pallas (2x2, interpret) vs the single-device f64 reference."""
+    from lbm_tpu.models.d2q9 import LBMParams
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    p = LBMParams(
+        nx=256, ny=16, max_iters=5, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[7, 200] = obs[3, 0] = obs[12, 255] = 1
+    single = run_simulation(p, obs, backend="reference", dtype=jnp.float64)
+    pal = run_simulation_sharded_2d(p, obs, mesh_shape=(2, 2), backend="pallas")
+    np.testing.assert_allclose(pal.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(pal.av_vels, single.av_vels, rtol=1e-5)
+
+
+def test_sharded_2d_pallas_rejects_bad_local_grid():
+    from lbm_tpu.models.d2q9 import LBMParams
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    p = LBMParams(
+        nx=256, ny=16, max_iters=1, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    with pytest.raises(ValueError):
+        # local nx = 64 is not lane-aligned
+        run_simulation_sharded_2d(p, obs, mesh_shape=(2, 4), backend="pallas")
