@@ -74,46 +74,29 @@ def pallas_supported(ny: int, nx: int) -> bool:
     return _pick_block(ny, nx) is not None
 
 
-def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
-            out_dtype=jnp.float32, col_fix: bool = False):
-    """One row-block of the fused step. See module docstring for the layout.
+def _physics(m, hd, hu, nobst, force_gate, *, block: int, w1a: float,
+             w2a: float, omega: float, out_dtype=jnp.float32, colfix=None):
+    """The fused physics of one row block, on plain arrays (shared by the
+    1-D, col_fix/2-D, and overlapped-RDMA kernel variants).
 
-    w1a/w2a are the accelerate weights density*accel/9 and /36
-    (kernels.cl:17-18); omega the BGK relaxation rate.
-
-    ``col_fix=True`` is the 2-D-mesh variant: the shard no longer holds full
-    lattice rows, so the lane-roll x-wrap is wrong in exactly one column per
-    direction; two extra ``(3, B, 1)`` inputs carry the x-neighbors' edge
-    columns (pre-aligned per plane by the sharding layer) and a lane-masked
-    select patches the wrapped column. Two extra side outputs emit this
-    block's NEW edge columns for the next step's exchange.
+    ``m``: 9 ``(block, nx)`` f32 planes; ``hd``/``hu``: ``(3, nx)`` halo rows
+    (planes [2,5,6] row-above / [4,7,8] row-below); ``nobst``: f32
+    not-obstacle plane; ``force_gate``: 1.0 iff this block holds global row
+    ny-2 (block AND shard ownership combined); ``colfix``: optional
+    ``(colL, colR)`` 2-D-mesh edge-column patches, each ``(3, block, 1)``.
+    Returns ``(res — the 9 new planes at out_dtype, u_sq)``.
     """
-    if col_fix:
-        (cells_ref, halo_dn_ref, halo_up_ref, colL_ref, colR_ref,
-         nobst_ref, owner_ref,
-         out_ref, halo_dn_out_ref, halo_up_out_ref,
-         colL_out_ref, colR_out_ref, sums_ref) = refs
-    else:
-        (cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
-         out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref) = refs
-    i = pl.program_id(0)
-    # Storage may be bf16 (the opt-in halved-bandwidth mode); all arithmetic
-    # is f32 in-kernel regardless.
-    nobst = nobst_ref[...].astype(jnp.float32)
+    nobst = nobst.astype(jnp.float32)
     obst = 1.0 - nobst
 
-    m = [cells_ref[k].astype(jnp.float32) for k in range(9)]
-
     # --- fused accelerate_flow (kernels.cl:21-41) on the owning block ------
-    # owner_ref is 1.0 only on the shard holding global row ny-2 (always 1.0
-    # single-device); within that shard the last block's row B-2 is ny-2.
-    is_owner = i == nblk - 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     row_sel = (rows == block - 2).astype(jnp.float32)  # row ny-2 lives here
     ok = (
         (m[3] - w1a > 0.0) & (m[6] - w2a > 0.0) & (m[7] - w2a > 0.0)
     ).astype(jnp.float32)
-    amask = jnp.where(is_owner, row_sel * ok * nobst, 0.0) * owner_ref[0, 0]
+    amask = row_sel * ok * nobst * force_gate
+    m = list(m)
     m[1] = m[1] + w1a * amask
     m[5] = m[5] + w2a * amask
     m[8] = m[8] + w2a * amask
@@ -134,12 +117,6 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
     def west(p):  # tmp[r, x] = p[r, x+1]  (pltpu.roll needs shift >= 0)
         return pltpu.roll(p, p.shape[1] - 1, 1)
 
-    # halo_dn_ref holds block (i-1)'s LAST row of planes [2,5,6] and
-    # halo_up_ref block (i+1)'s FIRST row of planes [4,7,8] (index maps do
-    # the modular neighbor selection) — produced as side outputs of the
-    # previous timestep's kernel, so no gather pass is needed per step.
-    hd = halo_dn_ref[0].astype(jnp.float32)
-    hu = halo_up_ref[0].astype(jnp.float32)
     t0 = m[0]
     t1 = east(m[1])
     t2 = down(m[2], hd[0:1])
@@ -149,19 +126,18 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
     t6 = west(down(m[6], hd[2:3]))
     t7 = west(up(m[7], hu[1:2]))
     t8 = east(up(m[8], hu[2:3]))
-    if col_fix:
+    if colfix is not None:
         # 2-D mesh: the roll wrapped our OWN edge column into lane 0 (east)
         # / lane nx-1 (west); replace it with the x-neighbor's column. The
-        # (3, B, 1) inputs are pre-aligned by the sharding layer: colL rows
-        # are the left shard's last column of planes (1, 5, 8) at pull rows
-        # (same / y-1 / y+1 — corners already spliced in); colR likewise for
-        # planes (3, 6, 7).
+        # (3, B, 1) patches are pre-aligned per plane by the sharding layer:
+        # colL rows are the left shard's last column of planes (1, 5, 8) at
+        # pull rows (same / y-1 / y+1 — corners already spliced in); colR
+        # likewise for planes (3, 6, 7).
+        cl, cr = colfix
         nx_l = m[0].shape[1]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (block, nx_l), 1)
         first = lanes == 0
         last = lanes == nx_l - 1
-        cl = colL_ref[...].astype(jnp.float32)  # (3, B, 1)
-        cr = colR_ref[...].astype(jnp.float32)
         t1 = jnp.where(first, cl[0], t1)
         t5 = jnp.where(first, cl[1], t5)
         t8 = jnp.where(first, cl[2], t8)
@@ -196,9 +172,54 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
             feq = ws[k] * rho * (common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ)))
         relaxed = t[k] + omega * (feq - t[k])
         # Obstacle-masked blend with the bounce-back value (kernels.cl:179-196).
-        val = (nobst * relaxed + obst * t[opp[k]]).astype(out_dtype)
-        out_ref[k] = val
-        res.append(val)
+        res.append((nobst * relaxed + obst * t[opp[k]]).astype(out_dtype))
+    return res, u_sq
+
+
+def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
+            out_dtype=jnp.float32, col_fix: bool = False):
+    """One row-block of the fused step. See module docstring for the layout.
+
+    w1a/w2a are the accelerate weights density*accel/9 and /36
+    (kernels.cl:17-18); omega the BGK relaxation rate.
+
+    ``col_fix=True`` is the 2-D-mesh variant: the shard no longer holds full
+    lattice rows, so the lane-roll x-wrap is wrong in exactly one column per
+    direction; two extra ``(3, B, 1)`` inputs carry the x-neighbors' edge
+    columns (pre-aligned per plane by the sharding layer) and a lane-masked
+    select patches the wrapped column. Two extra side outputs emit this
+    block's NEW edge columns for the next step's exchange.
+    """
+    if col_fix:
+        (cells_ref, halo_dn_ref, halo_up_ref, colL_ref, colR_ref,
+         nobst_ref, owner_ref,
+         out_ref, halo_dn_out_ref, halo_up_out_ref,
+         colL_out_ref, colR_out_ref, sums_ref) = refs
+    else:
+        (cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
+         out_ref, halo_dn_out_ref, halo_up_out_ref, sums_ref) = refs
+    i = pl.program_id(0)
+    # owner_ref is 1.0 only on the shard holding global row ny-2 (always 1.0
+    # single-device); within that shard the last block's row B-2 is ny-2.
+    force_gate = (
+        jnp.where(i == nblk - 1, 1.0, 0.0).astype(jnp.float32) * owner_ref[0, 0]
+    )
+    nobst = nobst_ref[...].astype(jnp.float32)
+    m = [cells_ref[k].astype(jnp.float32) for k in range(9)]
+    hd = halo_dn_ref[0].astype(jnp.float32)
+    hu = halo_up_ref[0].astype(jnp.float32)
+    colfix = None
+    if col_fix:
+        colfix = (
+            colL_ref[...].astype(jnp.float32),
+            colR_ref[...].astype(jnp.float32),
+        )
+    res, u_sq = _physics(
+        m, hd, hu, nobst, force_gate, block=block, w1a=w1a, w2a=w2a,
+        omega=omega, out_dtype=out_dtype, colfix=colfix,
+    )
+    for k in range(9):
+        out_ref[k] = res[k]
 
     # Side outputs: this block's boundary rows of the NEW state, which are
     # exactly the halo rows the next timestep's neighbors will pull.

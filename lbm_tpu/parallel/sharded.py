@@ -526,6 +526,44 @@ def make_sharded_pallas_step(interpret: bool = False):
     return step
 
 
+def make_sharded_pallas_step_overlap(interpret: bool = False):
+    """Opt-in variant of ``make_sharded_pallas_step``: the cross-shard halo
+    exchange happens INSIDE the kernel via async remote copies, overlapping
+    the 3-row sends with interior-block compute (see ops/pallas_remote.py).
+    The carried halo arrays stay all-local (no ppermute pre-exchange)."""
+    from lbm_tpu.ops import pallas_step as PS
+    from lbm_tpu.ops.pallas_remote import step_overlap
+
+    def step(state, nobst, density, accel, omega):
+        n = jax.lax.axis_size(AXIS)
+        idx = jax.lax.axis_index(AXIS)
+        owner = (idx == n - 1).astype(jnp.float32).reshape(1, 1)
+        neighbors = (
+            jnp.stack([(idx - 1) % n, (idx + 1) % n]).astype(jnp.int32).reshape(1, 2)
+        )
+        state, tot_local = step_overlap(
+            state, nobst, density, accel, omega, neighbors, owner,
+            interpret=interpret,
+        )
+        return state, jax.lax.psum(tot_local, AXIS)
+
+    def init_state(cells_local):
+        cells_local = cells_local.astype(jnp.float32)
+        block = PS._pick_block(cells_local.shape[1], cells_local.shape[2])
+        if block is None:
+            raise ValueError(
+                f"local grid {cells_local.shape[1]}x{cells_local.shape[2]} "
+                "unsupported by the pallas kernel"
+            )
+        dn, up = PS.make_halos(cells_local, block)
+        return cells_local, dn, up
+
+    step.init_state = init_state
+    step.extract = lambda state: state[0]
+    step.prepare = PS._prepare_obstacles
+    return step
+
+
 def _exchange_boundary_slots(dn, up):
     """Swap the shard-crossing halo slots around the ring.
 
@@ -618,18 +656,23 @@ def run_simulation_sharded(
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
 
     step_fn = None
-    if backend in ("auto", "pallas"):
+    if backend in ("auto", "pallas", "pallas-overlap"):
         from lbm_tpu.ops.pallas_step import pallas_supported
 
         fits = pallas_supported(params.ny // n, params.nx)
         on_tpu = mesh.devices.flat[0].platform == "tpu"
-        if backend == "pallas":
+        if backend in ("pallas", "pallas-overlap"):
             if not fits:
                 raise ValueError(
                     f"local grid {params.ny // n}x{params.nx} does not fit the "
                     "pallas kernel's tiling constraints"
                 )
-            step_fn = make_sharded_pallas_step(interpret=not on_tpu)
+            make = (
+                make_sharded_pallas_step_overlap
+                if backend == "pallas-overlap"
+                else make_sharded_pallas_step
+            )
+            step_fn = make(interpret=not on_tpu)
         elif on_tpu and fits:
             step_fn = make_sharded_pallas_step()
 

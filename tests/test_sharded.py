@@ -231,3 +231,27 @@ def test_sharded_2d_pallas_rejects_bad_local_grid():
     with pytest.raises(ValueError):
         # local nx = 64 is not lane-aligned
         run_simulation_sharded_2d(p, obs, mesh_shape=(2, 4), backend="pallas")
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_sharded_overlap_rdma_matches_jnp(n_devices):
+    """The in-kernel RDMA halo exchange (pltpu.make_async_remote_copy,
+    simulated by TPU interpret mode on the CPU mesh) agrees with the jnp
+    sharded step (VERDICT r1 item 8 / ROADMAP item 4)."""
+    from lbm_tpu.models.d2q9 import LBMParams
+
+    p = LBMParams(
+        nx=128, ny=16 * n_devices, max_iters=4, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(11)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[rng.randint(1, p.ny - 1, 8), rng.randint(0, p.nx, 8)] = 1
+    obs[p.ny // n_devices - 1, 5] = obs[p.ny // n_devices, 6] = 1  # seam
+    jnp_res = run_simulation_sharded(p, obs, n_devices=n_devices,
+                                     backend="reference")
+    ovl_res = run_simulation_sharded(p, obs, n_devices=n_devices,
+                                     backend="pallas-overlap")
+    np.testing.assert_allclose(ovl_res.cells, jnp_res.cells, atol=2e-7)
+    np.testing.assert_allclose(ovl_res.av_vels, jnp_res.av_vels, rtol=1e-5)
