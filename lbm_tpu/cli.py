@@ -38,11 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("obstaclefile", help="obstacle list file ('x y 1' per line)")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "resident", "temporal", "reference"],
+        choices=["auto", "pallas", "resident", "temporal", "reference",
+                 "pallas-overlap"],
         default="auto",
         help="step implementation: block-streaming Pallas kernel, VMEM-resident "
         "multi-step kernel (grids that fit on-chip), temporally-blocked "
-        "2-steps-per-pass kernel (HBM-bound grids), jnp reference, or auto",
+        "T-steps-per-pass kernel (HBM-bound grids), jnp reference, auto, or "
+        "pallas-overlap (sharded runs only: in-kernel RDMA halo exchange)",
     )
     p.add_argument(
         "--precision",

@@ -438,6 +438,10 @@ def run_simulation_sharded_2d(
         )
 
     step_fn = None
+    if backend == "pallas-overlap":
+        raise ValueError(
+            "pallas-overlap (in-kernel RDMA halo exchange) is 1-D-mesh only"
+        )
     if backend in ("auto", "pallas") and dtype == jnp.float32:
         from lbm_tpu.ops.pallas_step import pallas_supported
 

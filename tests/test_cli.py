@@ -245,3 +245,25 @@ def test_cli_orbax_checkpoint_written(tiny_inputs, tmp_path):
                  "--checkpoint-format", "orbax",
                  "--checkpoint-path", str(ckpt)]) == 0
     assert ckpt.is_dir()
+
+
+def test_cli_overlap_backend(tmp_path):
+    """--backend pallas-overlap works on a 1-D mesh and errors cleanly
+    single-device and on a 2-D mesh."""
+    import numpy as np
+
+    from lbm_tpu.utils.geometry import write_obstacle_file, write_params_file, box
+
+    params = tmp_path / "o.params"
+    obstacles = tmp_path / "o_obs.dat"
+    write_params_file(params, 128, 32, 3, 10, 0.1, 0.005, 1.85)
+    write_obstacle_file(obstacles, box(128, 32))
+    args = [str(params), str(obstacles), "--backend", "pallas-overlap"]
+    assert main(args + ["--mesh", "2", "--out-dir", str(tmp_path / "m")]) == 0
+    assert main(args + ["--out-dir", str(tmp_path / "s")]) == 1  # single device
+    assert main(args + ["--mesh", "2x2", "--out-dir", str(tmp_path / "m2")]) == 1
+    assert main([str(params), str(obstacles), "--backend", "reference",
+                 "--mesh", "2", "--out-dir", str(tmp_path / "r")]) == 0
+    a = np.loadtxt(tmp_path / "m" / "av_vels.dat", usecols=[1])
+    b = np.loadtxt(tmp_path / "r" / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(a, b, rtol=1e-5)
