@@ -3,37 +3,37 @@
 Large grids (state > VMEM) are HBM-bandwidth-bound: the block-streaming
 kernel moves 19 row-planes per step (9 read + 9 written + mask). Classic
 temporal blocking divides that by the depth T: each row block is read once,
-advanced T timesteps entirely in VMEM, and written once (the
-wavefront/trapezoid scheme for the reference's hot loop, kernels.cl:44-201).
-Supports any T >= 2 with T | B and bf16 storage (f32 arithmetic in-kernel).
+advanced T timesteps entirely in VMEM, and written once — ~(19/T + ε)
+row-planes per step. This generalizes the round-1 depth-2 kernel to any
+T >= 2 (the wavefront/trapezoid scheme for the reference's hot loop,
+kernels.cl:44-201) and supports bf16 storage (f32 arithmetic in-kernel).
 
-Mechanics:
+Mechanics (generalizing pallas_step's carried-halo design to depth T):
 
-- each grid step assembles a ``(B+2T)``-row extended tile for its block:
-  the central ``(9, B, nx)`` block plus the neighbors' boundary rows, read
-  DIRECTLY from the input state through two extra ``(9, T, nx)`` BlockSpec
-  views at row-group index ``i·(B/T) ∓ 1`` (mod ny/T) — T | B makes the
-  boundary rows tile-addressable, so there is no carried halo array at all
-  (the round-1 design carried ``(nblk, 9T, nx)`` side-output halos, which
-  cost ``4·9T/B`` extra row-passes per pass; the views cost ``2·9T/B``);
+- the loop carry holds, per block, its input's first-T and last-T rows of
+  all 9 planes (``(nblk, 9T, nx)`` packed arrays, plane k at rows
+  [Tk, Tk+T)); block i reads its neighbors' slots via modular BlockSpec
+  index maps to build a ``(B+2T)``-row extended tile;
 - step s (s = 1..T) consumes a ``B + 2(T-s+1)``-row buffer and produces a
   ``B + 2(T-s)``-row one; step T yields exactly the central B output rows.
-  The step-s input buffer covers global rows ``r0-u .. r0+B+u-1`` with
-  ``u = T-s+1``;
+  Each step's global-row bookkeeping: the step-s input buffer covers global
+  rows ``r0-u .. r0+B+u-1`` with ``u = T-s+1``;
 - the row-(ny-2) forcing (kernels.cl:7-42) is applied to every copy of that
   global row in the step's input buffer, with masks recomputed from the
   respective pre-forcing values — exactly the reference's
   accelerate-before-stream ordering for every one of the T steps. Row ny-2
   appears at offset ``B+u-2`` for the last block (interior copy) and at
   offset ``u-2`` for block 0 (wrap copy in the above-halo, present iff
-  u >= 2); no other copies exist for B >= 8 > T+2;
-- per-step reductions use only the central B rows (each global row counted
-  by exactly one block) into one ``(nblk, T)`` SMEM output.
+  u >= 2); no other copies exist for B >= 8 > T+2 (see the offset analysis
+  in the repo history / tests);
+- the kernel emits the OUTPUT's boundary row-T-packs as side outputs (= the
+  next pass's input halos) and one ``(nblk, T)`` SMEM partial-sum row (the
+  per-step reductions; each step's sum uses only the central B rows so each
+  global row is counted exactly once across blocks).
 
 The driver runs ``n_iters // T`` fused passes; a trailing remainder of
 ``n_iters % T`` steps falls back to the single-step block kernel.
-Constraints: nx % 128 == 0, B | ny, T | B, B >= sublane tile (8 f32 /
-16 bf16), T <= ny - 2.
+Constraints: nx % 128 == 0, B | ny, B >= 8 (16 for bf16), T <= ny - 2.
 """
 
 from __future__ import annotations
@@ -71,12 +71,11 @@ def temporal_supported(ny: int, nx: int, block: int, depth: int = 2,
         and ny % block == 0
         and block >= 8
         and 2 <= depth <= min(block, ny - 2)
-        and block % depth == 0
     )
 
 
 def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
-            out_ref, sums_ref,
+            out_ref, top_out_ref, bot_out_ref, sums_ref,
             *, block: int, nblk: int, depth: int, nx: int,
             w1a: float, w2a: float, omega: float, out_dtype):
     i = pl.program_id(0)
@@ -147,16 +146,14 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             planes[8] + w2a * am,
         )
 
-    # ---- (B+2T)-row extended input: rows r0-T .. r0+B+T-1 ------------------
-    # top_ref/bot_ref are views into the SAME input state (the neighbors'
-    # boundary row-groups, wrap via the modular index maps) — no carried
-    # halo arrays.
+    # ---- build the (B+2T)-row extended input: rows r0-T .. r0+B+T-1 -------
+    # top_ref = neighbor (i-1)'s LAST-T input rows; bot_ref = (i+1)'s FIRST-T.
     buf = tuple(
         jnp.concatenate(
             [
-                top_ref[k].astype(jnp.float32),
+                top_ref[0, T * k : T * k + T].astype(jnp.float32),
                 cells_ref[k].astype(jnp.float32),
-                bot_ref[k].astype(jnp.float32),
+                bot_ref[0, T * k : T * k + T].astype(jnp.float32),
             ],
             axis=0,
         )
@@ -194,8 +191,13 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         c0 = u - 1
         sums_ref[i, s - 1] = jnp.sum(nob_mid * jnp.sqrt(usq[c0 : c0 + B]))
 
+    # ---- outputs -------------------------------------------------------------
     for k in range(9):
-        out_ref[k] = buf[k].astype(out_dtype)
+        val = buf[k].astype(out_dtype)
+        out_ref[k] = val
+        # Side outputs: the OUTPUT's boundary row-packs (= next pass's halos).
+        top_out_ref[0, T * k : T * k + T] = val[0:T]
+        bot_out_ref[0, T * k : T * k + T] = val[B - T : B]
 
 
 @functools.lru_cache(maxsize=None)
@@ -203,8 +205,6 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
-    g = block // T  # row-groups of T rows per block
-    ngrp = ny // T
     tile = _sublane_tile(dtype)
     mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
@@ -216,26 +216,23 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            # Views into the same state: the previous block's LAST-T rows
-            # (row-group i*g - 1) and the next block's FIRST-T rows
-            # (row-group (i+1)*g), both mod ny/T for the periodic wrap.
-            pl.BlockSpec(
-                (9, T, nx), lambda i: (0, (i * g - 1) % ngrp, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (9, T, nx), lambda i: (0, ((i + 1) * g) % ngrp, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            # (i-1)'s LAST-T input rows of the 9 planes, packed on the second
+            # axis; (i+1)'s FIRST-T rows likewise.
+            pl.BlockSpec((1, 9 * T, nx), lambda i: ((i - 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: ((i + 1) % nblk, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mask_rows, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * T, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 9 * T, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, 9 * T, nx), dtype),
             jax.ShapeDtypeStruct((nblk, T), jnp.float32),
         ],
         compiler_params=None
@@ -250,6 +247,24 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
         ),
         interpret=interpret,
     )
+
+
+def make_halos_t(cells, block, depth):
+    """Initial depth-T halo arrays, indexed by producer block: ``bot[j]`` =
+    block j's FIRST-T rows (consumed by j-1 as its below-halo); ``top[j]`` =
+    block j's LAST-T rows (consumed by j+1 as its above-halo). Packed
+    ``(nblk, 9T, nx)`` with plane k at rows [Tk, Tk+T)."""
+    nblk = cells.shape[1] // block
+    T = depth
+    tops = []
+    bots = []
+    for k in range(9):
+        plane = cells[k].reshape(nblk, block, cells.shape[2])
+        tops.append(plane[:, block - T :, :])
+        bots.append(plane[:, :T, :])
+    top = jnp.concatenate(tops, axis=1)  # (nblk, 9T, nx), plane-major packs
+    bot = jnp.concatenate(bots, axis=1)
+    return top, bot
 
 
 def nobst_ext(nobst, block, depth, dtype=jnp.float32):
@@ -271,12 +286,14 @@ def nobst_ext(nobst, block, depth, dtype=jnp.float32):
     return jnp.concatenate(rows, axis=0)
 
 
-def step_t_pallas(cells, nob_ext_arr, owner, density, accel, omega, block,
+def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
                   depth, *, interpret=False):
-    """Advance T timesteps in one HBM pass.
+    """Advance T timesteps. ``state`` = (cells, last_t, first_t) where the
+    halo arrays are indexed by producer block (see make_halos_t).
 
-    Returns ``(cells', (tot_u_step1, ..., tot_u_stepT))``.
+    Returns ``(state', (tot_u_step1, ..., tot_u_stepT))``.
     """
+    cells, last_t, first_t = state
     _, ny, nx = cells.shape
     call = _make_call(
         ny, nx, block, depth,
@@ -286,8 +303,10 @@ def step_t_pallas(cells, nob_ext_arr, owner, density, accel, omega, block,
         bool(interpret),
         cells.dtype.name,
     )
-    out, sums = call(cells, cells, cells, nob_ext_arr, owner)
-    return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
+    out, first_o, last_o, sums = call(cells, last_t, first_t, nob_ext_arr, owner)
+    # Kernel side outputs: top_out = the block's FIRST-T output rows,
+    # bot_out = its LAST-T — i.e. the next pass's first_t/last_t arrays.
+    return (out, last_o, first_o), tuple(jnp.sum(sums[:, s]) for s in range(depth))
 
 
 def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
@@ -305,6 +324,7 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
             f"temporal kernel unsupported: grid {ny}x{nx}, block {block}, "
             f"depth {T}, dtype {cells.dtype.name}"
         )
+    last_t, first_t = make_halos_t(cells, block, T)
     nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
     owner = jnp.ones((1, 1), jnp.float32)
 
@@ -312,18 +332,20 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
     tot_u = jnp.zeros((n_iters,), jnp.float32)
 
     def body(j, carry):
-        cells, tot_u = carry
-        cells, sums = step_t_pallas(
-            cells, nob_ext_arr, owner, density, accel, omega, block, T,
+        state, tot_u = carry
+        state, sums = step_t_pallas(
+            state, nob_ext_arr, owner, density, accel, omega, block, T,
             interpret=interpret,
         )
         tot_u = jax.lax.dynamic_update_slice(
             tot_u, jnp.stack(sums), (T * j,)
         )
-        return cells, tot_u
+        return state, tot_u
 
+    state = (cells, last_t, first_t)
     if npasses:
-        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
+        state, tot_u = jax.lax.fori_loop(0, npasses, body, (state, tot_u))
+    cells = state[0]
     rem = n_iters % T
     if rem:
         step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
@@ -340,15 +362,15 @@ def pick_block(ny: int, nx: int, depth: int = DEFAULT_DEPTH,
                dtype=jnp.float32) -> int | None:
     """Temporal-kernel block height (B=16 measured fastest at depth 2:
     8192^2 6,128 vs 4,983 MLUPS at B=8; 2048^2 6,272 vs 4,935).
-    ``LBM_TEMPORAL_BLOCK`` overrides for sweeps. Depth-3 needs a
-    3-divisible block (24/48)."""
+    ``LBM_TEMPORAL_BLOCK`` overrides for sweeps."""
     if nx % 128 != 0:
         return None
+    tile = _sublane_tile(dtype)
     override = os.environ.get("LBM_TEMPORAL_BLOCK")
     if override:
         b = int(override)
         return b if temporal_supported(ny, nx, b, depth, dtype) else None
-    for b in (16, 8, 32, 24, 48):
+    for b in (16, 8) if tile == 8 else (16,):
         if temporal_supported(ny, nx, b, depth, dtype):
             return b
     return None
