@@ -377,10 +377,16 @@ def pick_block(ny: int, nx: int, depth: int = DEFAULT_DEPTH,
 
 
 def pick_depth(ny: int, nx: int, dtype=jnp.float32) -> int:
-    """Fused-pass depth. ``LBM_TEMPORAL_DEPTH`` overrides for sweeps;
-    default stays at the measured round-1 sweet spot until a deeper pass
-    wins an A/B on hardware (BENCHMARKS.md tracks this)."""
+    """Fused-pass depth. ``LBM_TEMPORAL_DEPTH`` overrides for sweeps.
+
+    Default 4 where a block exists for it: the round-2 within-session A/B
+    (BENCHMARKS.md, bench_r2_tpu2.json) measured T4:B16 fastest in the
+    HBM-bound f32 regime — 2048^2 +55% and 8192^2 +30% over the block
+    kernel vs +32%/+17% for shallower depths (and the depth-2 kernel's
+    8192-wide compile is flaky on the relay toolchain). Falls back to 2."""
     override = os.environ.get("LBM_TEMPORAL_DEPTH")
     if override:
         return int(override)
+    if pick_block(ny, nx, 4, dtype) is not None:
+        return 4
     return DEFAULT_DEPTH

@@ -108,9 +108,13 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
                 f"grid {params.ny}x{params.nx} unsupported by the temporal kernel"
             )
         return not on_tpu
-    # auto: HBM-bound grids only — the VMEM-resident kernel wins when the f32
-    # state fits on-chip (for bf16 the f32 footprint is the same capacity
-    # proxy; small bf16 grids stay on the block kernel).
+    # auto: f32 HBM-bound grids only. The VMEM-resident kernel wins when the
+    # f32 state fits on-chip; for bf16 the BLOCK kernel wins everywhere (the
+    # halved traffic drops below the temporal kernel's compute/relayout
+    # ceiling — measured 2048^2 bf16: block 7,050 vs temporal 4,900-5,200
+    # MLUPS, bench_r2_tpu2.json), so bf16 never auto-selects temporal.
+    if dtype == jnp.bfloat16:
+        return None
     if fits and on_tpu and not resident_supported(
         params.ny, params.nx, jnp.float32
     ):
