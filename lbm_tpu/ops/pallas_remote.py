@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lbm_tpu.ops.collision import paired_default
 from lbm_tpu.ops.pallas_step import _physics
 
 
@@ -51,7 +52,7 @@ def _kernel_overlap(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
                     recv_dn_ref, recv_up_ref,
                     send_dn_sem, recv_dn_sem, send_up_sem, recv_up_sem,
                     *, block: int, nblk: int, w1a: float, w2a: float,
-                    omega: float):
+                    omega: float, paired: bool = True):
     g = pl.program_id(0)
     b = _order(g, nblk)
     left = neigh_ref[0, 0]
@@ -123,7 +124,7 @@ def _kernel_overlap(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     m = [cells_ref[k].astype(jnp.float32) for k in range(9)]
     res, u_sq = _physics(
         m, hd, hu, nobst, force_gate, block=block, w1a=w1a, w2a=w2a,
-        omega=omega,
+        omega=omega, paired=paired,
     )
     for k in range(9):
         out_ref[k] = res[k]
@@ -137,10 +138,11 @@ def _kernel_overlap(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_call_overlap(ny, nx, block, w1a, w2a, omega, interpret):
+def _make_call_overlap(ny, nx, block, w1a, w2a, omega, interpret, paired=True):
     nblk = ny // block
     kern = functools.partial(
         _kernel_overlap, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
+        paired=paired,
     )
 
     def bmap(g):
@@ -214,6 +216,7 @@ def step_overlap(state, nobst, density, accel, omega, neighbors, owner,
         float(density * accel / 36.0),
         float(omega),
         bool(interpret),
+        paired=paired_default(),
     )
     new_cells, new_dn, new_up, partials = call(
         cells, halo_dn, halo_up, nobst, owner, neighbors

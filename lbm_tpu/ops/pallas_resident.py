@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
+from lbm_tpu.ops.collision import bgk_relax, paired_default
 
 # Whole-state VMEM budget, measured on v5e (128 MB VMEM): input window
 # (= state) + output window (= state) + nobst + tile temporaries must fit.
@@ -65,17 +65,15 @@ def _pick_tile(ny: int, nx: int) -> int:
 
 def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
                  *, steps: int, ny: int, nx: int, tile: int,
-                 w1a: float, w2a: float, omega: float):
+                 w1a: float, w2a: float, omega: float, paired: bool = True):
     # cells_ref ("A") arrives DMA'd from HBM and serves as the mutable
     # working buffer; out_ref ("B") is the ping-pong partner whose final
     # contents are written back.
     nobst_full = nobst_ref[...].astype(jnp.float32)
+    nob_b_full = nobst_full > 0.0
 
     cys = (0, 0, 1, 0, -1, 1, 1, -1, -1)
     cxs = (0, 1, 0, -1, 0, 1, -1, -1, 1)
-    fcx = (0.0, 1.0, 0.0, -1.0, 0.0, 1.0, -1.0, -1.0, 1.0)
-    fcy = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
-    ws = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
     opp = (0, 3, 4, 1, 2, 7, 8, 5, 6)
     ntiles = ny // tile
 
@@ -91,7 +89,6 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
         for j in range(ntiles):
             r0 = j * tile
             nob = nobst_full[r0 : r0 + tile]
-            obst = 1.0 - nob
 
             def mid(k):
                 return src[k, r0 : r0 + tile]
@@ -146,24 +143,10 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
                 return p
 
             t = tuple(pull(k) for k in range(9))
-            rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
-            inv_rho = 1.0 / rho
-            u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
-            u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
-            u_sq = u_x * u_x + u_y * u_y
-            common = 1.0 - u_sq * (0.5 / C_SQ)
-
+            relaxed, u_sq = bgk_relax(t, omega, paired=paired)
+            nob_b = nob_b_full[r0 : r0 + tile]
             for k in range(9):
-                if k == 0:
-                    feq = ws[0] * rho * common
-                else:
-                    cu = fcx[k] * u_x + fcy[k] * u_y if fcx[k] and fcy[k] else (
-                        fcx[k] * u_x if fcx[k] else fcy[k] * u_y
-                    )
-                    feq = ws[k] * rho * (
-                        common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
-                    )
-                dst[k, r0 : r0 + tile] = nob * (t[k] + omega * (feq - t[k])) + obst * t[opp[k]]
+                dst[k, r0 : r0 + tile] = jnp.where(nob_b, relaxed[k], t[opp[k]])
 
             part = jnp.sum(nob * jnp.sqrt(u_sq))
             total = part if total is None else total + part
@@ -173,13 +156,23 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
         # Small-state fast path: carry the planes as VALUES through the loop
         # (measured 2-3x faster per step than ref ping-pong at <=256^2; the
         # ~3.25x live-set blowup that sinks large grids is harmless here).
+        # Loop-invariant forcing-row pieces hoisted out of the step: only the
+        # joint positivity test depends on the evolving state, and it needs
+        # just row ny-2 — NOT full-plane compares (which cost ~8 grid passes
+        # per step in the round-1 form).
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0)
+        sel = (rows_i == ny - 2).astype(jnp.float32)
+        nob_force_row = nobst_full[ny - 2 : ny - 1]
+        gate = owner_ref[0, 0]
+
         def step_body(tt, c):
+            r = ny - 2
             ok = (
-                (c[3] - w1a > 0.0) & (c[6] - w2a > 0.0) & (c[7] - w2a > 0.0)
+                (c[3][r : r + 1] - w1a > 0.0)
+                & (c[6][r : r + 1] - w2a > 0.0)
+                & (c[7][r : r + 1] - w2a > 0.0)
             ).astype(jnp.float32)
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0)
-            sel = (rows_i == ny - 2).astype(jnp.float32)
-            am = sel * ok * nobst_full * owner_ref[0, 0]
+            am = sel * (ok * nob_force_row * gate)
             c = (
                 c[0],
                 c[1] + w1a * am, c[2], c[3] - w1a * am, c[4],
@@ -195,27 +188,11 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
                 return p
 
             t = tuple(roll2(c[k], cys[k], cxs[k]) for k in range(9))
-            rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
-            inv_rho = 1.0 / rho
-            u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
-            u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
-            u_sq = u_x * u_x + u_y * u_y
-            common = 1.0 - u_sq * (0.5 / C_SQ)
-
-            def relax(k):
-                if k == 0:
-                    feq = ws[0] * rho * common
-                else:
-                    cu = fcx[k] * u_x + fcy[k] * u_y if fcx[k] and fcy[k] else (
-                        fcx[k] * u_x if fcx[k] else fcy[k] * u_y
-                    )
-                    feq = ws[k] * rho * (
-                        common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
-                    )
-                return nobst_full * (t[k] + omega * (feq - t[k])) + (1.0 - nobst_full) * t[opp[k]]
-
+            relaxed, u_sq = bgk_relax(t, omega, paired=paired)
             av_ref[tt, 0] = jnp.sum(nobst_full * jnp.sqrt(u_sq))
-            return tuple(relax(k) for k in range(9))
+            return tuple(
+                jnp.where(nob_b_full, relaxed[k], t[opp[k]]) for k in range(9)
+            )
 
         c_final = jax.lax.fori_loop(
             0, steps, step_body, tuple(cells_ref[k].astype(jnp.float32) for k in range(9))
@@ -246,11 +223,11 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret):
+def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret, paired=True):
     tile = _pick_tile(ny, nx)
     kern = functools.partial(
         _mega_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
-        w1a=w1a, w2a=w2a, omega=omega,
+        w1a=w1a, w2a=w2a, omega=omega, paired=paired,
     )
     return pl.pallas_call(
         kern,
@@ -289,9 +266,12 @@ def run_resident(cells, nobst, density, accel, omega, n_iters, *, interpret=Fals
     n_full = n_iters // _CHUNK_STEPS
     rem = n_iters - n_full * _CHUNK_STEPS
     tot_u = jnp.zeros((n_iters,), jnp.float32)
+    paired = paired_default()
 
     if n_full:
-        call = _make_mega_call(ny, nx, _CHUNK_STEPS, w1a, w2a, omega, interpret)
+        call = _make_mega_call(
+            ny, nx, _CHUNK_STEPS, w1a, w2a, omega, interpret, paired
+        )
 
         def body(j, carry):
             cells, tot_u = carry
@@ -301,7 +281,7 @@ def run_resident(cells, nobst, density, accel, omega, n_iters, *, interpret=Fals
 
         cells, tot_u = jax.lax.fori_loop(0, n_full, body, (cells, tot_u))
     if rem:
-        call = _make_mega_call(ny, nx, rem, w1a, w2a, omega, interpret)
+        call = _make_mega_call(ny, nx, rem, w1a, w2a, omega, interpret, paired)
         cells, av = call(cells, nobst, owner)
         tot_u = jax.lax.dynamic_update_slice(tot_u, av[:, 0], (n_full * _CHUNK_STEPS,))
     return cells, tot_u

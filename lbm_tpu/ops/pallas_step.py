@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
+from lbm_tpu.ops.collision import bgk_relax, paired_default
 
 def _pick_block(ny: int, nx: int, dtype=jnp.float32) -> int | None:
     """Row-block height B (must divide ny; multiples of the sublane tile —
@@ -75,7 +75,8 @@ def pallas_supported(ny: int, nx: int) -> bool:
 
 
 def _physics(m, hd, hu, nobst, force_gate, *, block: int, w1a: float,
-             w2a: float, omega: float, out_dtype=jnp.float32, colfix=None):
+             w2a: float, omega: float, out_dtype=jnp.float32, colfix=None,
+             paired: bool = True):
     """The fused physics of one row block, on plain arrays (shared by the
     1-D, col_fix/2-D, and overlapped-RDMA kernel variants).
 
@@ -146,38 +147,22 @@ def _physics(m, hd, hu, nobst, force_gate, *, block: int, w1a: float,
         t7 = jnp.where(last, cr[2], t7)
     t = [t0, t1, t2, t3, t4, t5, t6, t7, t8]
 
-    # --- moments (kernels.cl:109-134) --------------------------------------
-    rho = (((t0 + t1) + (t2 + t3)) + ((t4 + t5) + (t6 + t7))) + t8
-    inv_rho = 1.0 / rho
-    u_x = ((t1 + t5 + t8) - (t3 + t6 + t7)) * inv_rho
-    u_y = ((t2 + t5 + t6) - (t4 + t7 + t8)) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-
-    # --- BGK equilibrium (kernels.cl:148-177) ------------------------------
-    # w_k rho (1 + cu/c_sq + cu^2/(2 c_sq^2) - u_sq/(2 c_sq)), cu = c_k . u
-    common = 1.0 - u_sq * (0.5 / C_SQ)
-    cxs = (0.0, 1.0, 0.0, -1.0, 0.0, 1.0, -1.0, -1.0, 1.0)
-    cys = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
-    ws = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
+    # --- moments + BGK relaxation (kernels.cl:109-177, shared form) --------
+    relaxed, u_sq = bgk_relax(t, omega, paired=paired)
     opp = (0, 3, 4, 1, 2, 7, 8, 5, 6)  # kernels.cl:100-107
 
-    res = []
-    for k in range(9):
-        if k == 0:
-            feq = ws[k] * rho * common
-        else:
-            cu = cxs[k] * u_x + cys[k] * u_y if cxs[k] and cys[k] else (
-                cxs[k] * u_x if cxs[k] else cys[k] * u_y
-            )
-            feq = ws[k] * rho * (common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ)))
-        relaxed = t[k] + omega * (feq - t[k])
-        # Obstacle-masked blend with the bounce-back value (kernels.cl:179-196).
-        res.append((nobst * relaxed + obst * t[opp[k]]).astype(out_dtype))
+    # Obstacle select with the bounce-back value (kernels.cl:179-196): a
+    # one-op lane select instead of the two-multiply arithmetic blend.
+    nob_b = nobst > 0.0
+    res = [
+        jnp.where(nob_b, relaxed[k], t[opp[k]]).astype(out_dtype)
+        for k in range(9)
+    ]
     return res, u_sq
 
 
 def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
-            out_dtype=jnp.float32, col_fix: bool = False):
+            out_dtype=jnp.float32, col_fix: bool = False, paired: bool = True):
     """One row-block of the fused step. See module docstring for the layout.
 
     w1a/w2a are the accelerate weights density*accel/9 and /36
@@ -216,7 +201,7 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
         )
     res, u_sq = _physics(
         m, hd, hu, nobst, force_gate, block=block, w1a=w1a, w2a=w2a,
-        omega=omega, out_dtype=out_dtype, colfix=colfix,
+        omega=omega, out_dtype=out_dtype, colfix=colfix, paired=paired,
     )
     for k in range(9):
         out_ref[k] = res[k]
@@ -246,12 +231,13 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="float32"):
+def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret,
+                      dtype_name="float32", paired=True):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
-        out_dtype=dtype,
+        out_dtype=dtype, paired=paired,
     )
     return pl.pallas_call(
         kern,
@@ -293,14 +279,15 @@ def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="flo
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pallas_call_2d(ny, nx, block, w1a, w2a, omega, interpret, dtype_name="float32"):
+def _make_pallas_call_2d(ny, nx, block, w1a, w2a, omega, interpret,
+                         dtype_name="float32", paired=True):
     """The col_fix variant (2-D mesh shards): two (3, ny, 1) edge-column
     inputs and two matching side outputs around the 1-D call's signature."""
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
-        out_dtype=dtype, col_fix=True,
+        out_dtype=dtype, col_fix=True, paired=paired,
     )
     col_spec = pl.BlockSpec((3, block, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     col_shape = jax.ShapeDtypeStruct((3, ny, 1), dtype)
@@ -369,6 +356,7 @@ def _step_carry_2d(state, nobst, density, accel, omega, *, interpret=False,
         float(omega),
         bool(interpret),
         dtype_name=cells.dtype.name,
+        paired=paired_default(),
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)
@@ -417,6 +405,7 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=N
         float(omega),
         bool(interpret),
         dtype_name=cells.dtype.name,
+        paired=paired_default(),
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)

@@ -46,13 +46,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.models.d2q9 import C_SQ, W0, W1, W2
+from lbm_tpu.ops.collision import bgk_relax, paired_default
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
 _CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
-_FCX = (0.0, 1.0, 0.0, -1.0, 0.0, 1.0, -1.0, -1.0, 1.0)
-_FCY = (0.0, 0.0, 1.0, 0.0, -1.0, 1.0, 1.0, -1.0, -1.0)
-_WS = (W0, W1, W1, W1, W1, W2, W2, W2, W2)
 _OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
 
 DEFAULT_DEPTH = 2
@@ -77,7 +74,8 @@ def temporal_supported(ny: int, nx: int, block: int, depth: int = 2,
 def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             out_ref, top_out_ref, bot_out_ref, sums_ref,
             *, block: int, nblk: int, depth: int, nx: int,
-            w1a: float, w2a: float, omega: float, out_dtype):
+            w1a: float, w2a: float, omega: float, out_dtype,
+            paired: bool = True):
     i = pl.program_id(0)
     B, T = block, depth
 
@@ -90,6 +88,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     # nobst_ref block covers rows r0-T .. r0+B+T-1 (built by the driver with
     # wrap) plus alignment pad rows; all step masks slice from it.
     nob_all = nobst_ref[...][: B + 2 * T].astype(jnp.float32)  # (B+2T, nx)
+    nob_b_all = nob_all > 0.0
     nob_mid = nob_all[T : T + B]
     owner = owner_ref[0, 0]
     gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
@@ -99,28 +98,6 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     # both forcing sites.
     nob_force_owner = nob_all[B + T - 2 : B + T - 1]
     nob_force_first = nob_all[T - 2 : T - 1] if T >= 2 else nob_force_owner
-
-    def collide_from(t):
-        """(relaxed 9-tuple pre-mask, u_sq, streamed t) — kernels.cl:109-196."""
-        rho = (((t[0] + t[1]) + (t[2] + t[3])) + ((t[4] + t[5]) + (t[6] + t[7]))) + t[8]
-        inv_rho = 1.0 / rho
-        u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) * inv_rho
-        u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) * inv_rho
-        u_sq = u_x * u_x + u_y * u_y
-        common = 1.0 - u_sq * (0.5 / C_SQ)
-        out = []
-        for k in range(9):
-            if k == 0:
-                feq = _WS[0] * rho * common
-            else:
-                cu = _FCX[k] * u_x + _FCY[k] * u_y if _FCX[k] and _FCY[k] else (
-                    _FCX[k] * u_x if _FCX[k] else _FCY[k] * u_y
-                )
-                feq = _WS[k] * rho * (
-                    common + cu * (1.0 / C_SQ) + cu * cu * (0.5 / (C_SQ * C_SQ))
-                )
-            out.append(t[k] + omega * (feq - t[k]))
-        return tuple(out), u_sq, t
 
     def force(planes, n_rows, pos, nob_row, gate):
         """Accelerate-flow at buffer row ``pos`` (kernels.cl:21-41), masked by
@@ -180,11 +157,11 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
                 p = west(p)
             return p
 
-        relaxed, usq, t = collide_from(tuple(pull(k) for k in range(9)))
-        nob_out = nob_all[s : s + n_out]
-        obst_out = 1.0 - nob_out
+        t = tuple(pull(k) for k in range(9))
+        relaxed, usq = bgk_relax(t, omega, paired=paired)
+        nob_b_out = nob_b_all[s : s + n_out]
         buf = tuple(
-            nob_out * relaxed[k] + obst_out * t[_OPP[k]] for k in range(9)
+            jnp.where(nob_b_out, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
         # Per-step reduction over the CENTRAL B rows only (each global row
         # counted by exactly one block).
@@ -201,7 +178,8 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
+def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
+               paired=True):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -209,7 +187,7 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name):
     mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, depth=T, nx=nx,
-        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
     )
     return pl.pallas_call(
         kern,
@@ -302,6 +280,7 @@ def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
         float(omega),
         bool(interpret),
         cells.dtype.name,
+        paired=paired_default(),
     )
     out, first_o, last_o, sums = call(cells, last_t, first_t, nob_ext_arr, owner)
     # Kernel side outputs: top_out = the block's FIRST-T output rows,

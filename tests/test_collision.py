@@ -1,0 +1,97 @@
+"""The shared BGK collision (ops/collision.py): paired vs literal forms.
+
+The paired form is an algebraic regrouping of the reference equilibrium
+(kernels.cl:148-177) — it must agree with the literal form to f32
+round-off, and the ``LBM_COLLIDE`` env knob must reach the kernel builds
+(the oracle-agreement matrices in test_pallas/test_resident/test_temporal
+run under the default and already gate the physics; this file pins the
+equivalence and the dispatch plumbing).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from lbm_tpu.models.d2q9 import LBMParams
+from lbm_tpu.ops.collision import bgk_relax, moments, paired_default
+from lbm_tpu.ops.pallas_step import _prepare_obstacles, lbm_step_pallas_interpret
+
+PARAMS = LBMParams(
+    nx=128, ny=32, max_iters=5, reynolds_dim=10, density=0.1, accel=0.005,
+    omega=1.85,
+)
+
+
+def _random_planes(seed=0):
+    rng = np.random.RandomState(seed)
+    base = oracle.initial_state(PARAMS)
+    t = (base * (1.0 + 0.05 * rng.rand(*base.shape))).astype(np.float32)
+    return tuple(jnp.asarray(t[k]) for k in range(9))
+
+
+def test_paired_matches_literal_to_roundoff():
+    t = _random_planes()
+    lit, usq_lit = bgk_relax(t, 1.85, paired=False)
+    par, usq_par = bgk_relax(t, 1.85, paired=True)
+    np.testing.assert_array_equal(np.asarray(usq_lit), np.asarray(usq_par))
+    for k in range(9):
+        np.testing.assert_allclose(
+            np.asarray(par[k]), np.asarray(lit[k]), rtol=0, atol=5e-8
+        )
+
+
+def test_paired_matches_f64_literal_tightly():
+    """Both f32 forms must sit within f32 round-off of the f64 literal truth
+    (the paired regrouping must not amplify error, only re-round)."""
+    t32 = _random_planes()
+    t64 = tuple(p.astype(jnp.float64) for p in t32)
+    truth, _ = bgk_relax(t64, 1.85, paired=False)
+    for paired in (False, True):
+        got, _ = bgk_relax(t32, 1.85, paired=paired)
+        for k in range(9):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(truth[k]), rtol=0, atol=1e-7
+            )
+
+
+def test_moments_at_rest_velocity_exactly_zero():
+    """The summation grouping cancels an at-rest state's velocity numerators
+    to exactly 0.0 (d2q9-bgk.c:877-892 — final_state.dat prints literal
+    0.000000000000E+00 fields from it)."""
+    base = jnp.asarray(oracle.initial_state(PARAMS).astype(np.float32))
+    t = tuple(base[k] for k in range(9))
+    _, _, u_x, u_y, _ = moments(t)
+    assert float(jnp.abs(u_x).max()) == 0.0
+    assert float(jnp.abs(u_y).max()) == 0.0
+
+
+def test_env_knob(monkeypatch):
+    monkeypatch.delenv("LBM_COLLIDE", raising=False)
+    assert paired_default() is True
+    monkeypatch.setenv("LBM_COLLIDE", "literal")
+    assert paired_default() is False
+    monkeypatch.setenv("LBM_COLLIDE", "paired")
+    assert paired_default() is True
+
+
+def test_knob_reaches_kernel_build(monkeypatch):
+    """One interpret-mode step per mode: results differ bitwise (different
+    rounding proves the toggle reached the build) but agree to round-off."""
+    rng = np.random.RandomState(3)
+    base = oracle.initial_state(PARAMS)
+    cells = jnp.asarray(
+        (base * (1.0 + 0.05 * rng.rand(*base.shape))).astype(np.float32)
+    )
+    mask = np.zeros((PARAMS.ny, PARAMS.nx), dtype=np.int32)
+    mask[0, :] = mask[-1, :] = 1
+    nobst = _prepare_obstacles(jnp.asarray(mask), jnp.float32)
+
+    out = {}
+    for mode in ("literal", "paired"):
+        monkeypatch.setenv("LBM_COLLIDE", mode)
+        new_cells, _ = lbm_step_pallas_interpret(
+            cells, nobst, PARAMS.density, PARAMS.accel, PARAMS.omega
+        )
+        out[mode] = np.asarray(new_cells)
+    assert not np.array_equal(out["literal"], out["paired"])
+    np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-8)
