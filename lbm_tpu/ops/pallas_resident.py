@@ -251,11 +251,14 @@ def _make_mega_call(ny, nx, steps, w1a, w2a, omega, interpret, paired=True):
     )
 
 
-def run_resident(cells, nobst, density, accel, omega, n_iters, *, interpret=False):
+def run_resident(cells, nobst, density, accel, omega, n_iters, *,
+                 interpret=False, paired=None):
     """Run ``n_iters`` steps with the VMEM-resident mega-kernel.
 
     Returns ``(final_cells, tot_u_series)`` where the series is the
     UN-normalized per-step sum of |u| over unblocked cells (length n_iters).
+    ``paired`` selects the collision form (None → env default); jitted
+    callers must thread it as a static arg (see driver._run_resident).
     """
     _, ny, nx = cells.shape
     w1a = float(density * accel / 9.0)
@@ -266,7 +269,8 @@ def run_resident(cells, nobst, density, accel, omega, n_iters, *, interpret=Fals
     n_full = n_iters // _CHUNK_STEPS
     rem = n_iters - n_full * _CHUNK_STEPS
     tot_u = jnp.zeros((n_iters,), jnp.float32)
-    paired = paired_default()
+    if paired is None:
+        paired = paired_default()
 
     if n_full:
         call = _make_mega_call(

@@ -385,7 +385,8 @@ def _prepare_obstacles(obstacles, dtype):
     return (obstacles == 0).astype(jnp.float32)
 
 
-def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=None):
+def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
+                owner=None, paired=None):
     """One fused timestep on the ``(cells, halo_dn, halo_up)`` carry.
 
     The halo pair always equals the boundary rows of ``cells`` — maintained
@@ -405,7 +406,7 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False, owner=N
         float(omega),
         bool(interpret),
         dtype_name=cells.dtype.name,
-        paired=paired_default(),
+        paired=paired_default() if paired is None else paired,
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)
@@ -425,28 +426,37 @@ def _extract_cells(state):
     return state[0]
 
 
-def lbm_step_pallas(state, nobst, density, accel, omega):
+def lbm_step_pallas(state, nobst, density, accel, omega, paired=None):
     """Fused-kernel step (TPU). Accepts either the ``(cells, halo_dn,
     halo_up)`` carry (the fast path the driver uses via ``init_state``) or a
     bare ``(9, ny, nx)`` cells array (convenience/oracle form — halos built
-    on the fly). Returns the same structure it was given plus ``tot_u``."""
+    on the fly). Returns the same structure it was given plus ``tot_u``.
+    ``paired`` picks the collision form (None → env default); jitted callers
+    must thread it as a static arg (see driver._run_loop)."""
     if isinstance(state, (tuple, list)):
-        return _step_carry(tuple(state), nobst, density, accel, omega)
-    new_state, tot_u = _step_carry(_init_state(state), nobst, density, accel, omega)
+        return _step_carry(tuple(state), nobst, density, accel, omega, paired=paired)
+    new_state, tot_u = _step_carry(
+        _init_state(state), nobst, density, accel, omega, paired=paired
+    )
     return new_state[0], tot_u
 
 
 lbm_step_pallas.prepare = _prepare_obstacles
 lbm_step_pallas.init_state = _init_state
 lbm_step_pallas.extract = _extract_cells
+lbm_step_pallas.takes_paired = True
 
 
-def lbm_step_pallas_interpret(state, nobst, density, accel, omega):
+def lbm_step_pallas_interpret(state, nobst, density, accel, omega, paired=None):
     """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
     if isinstance(state, (tuple, list)):
-        return _step_carry(tuple(state), nobst, density, accel, omega, interpret=True)
+        return _step_carry(
+            tuple(state), nobst, density, accel, omega, interpret=True,
+            paired=paired,
+        )
     new_state, tot_u = _step_carry(
-        _init_state(state), nobst, density, accel, omega, interpret=True
+        _init_state(state), nobst, density, accel, omega, interpret=True,
+        paired=paired,
     )
     return new_state[0], tot_u
 
@@ -454,3 +464,4 @@ def lbm_step_pallas_interpret(state, nobst, density, accel, omega):
 lbm_step_pallas_interpret.prepare = _prepare_obstacles
 lbm_step_pallas_interpret.init_state = _init_state
 lbm_step_pallas_interpret.extract = _extract_cells
+lbm_step_pallas_interpret.takes_paired = True

@@ -265,7 +265,7 @@ def nobst_ext(nobst, block, depth, dtype=jnp.float32):
 
 
 def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
-                  depth, *, interpret=False):
+                  depth, *, interpret=False, paired=None):
     """Advance T timesteps. ``state`` = (cells, last_t, first_t) where the
     halo arrays are indexed by producer block (see make_halos_t).
 
@@ -280,7 +280,7 @@ def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
         float(omega),
         bool(interpret),
         cells.dtype.name,
-        paired=paired_default(),
+        paired=paired_default() if paired is None else paired,
     )
     out, first_o, last_o, sums = call(cells, last_t, first_t, nob_ext_arr, owner)
     # Kernel side outputs: top_out = the block's FIRST-T output rows,
@@ -289,7 +289,7 @@ def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
 
 
 def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
-                 depth: int = DEFAULT_DEPTH, *, interpret=False):
+                 depth: int = DEFAULT_DEPTH, *, interpret=False, paired=None):
     """Run ``n_iters`` steps, T per HBM pass; the trailing ``n_iters % T``
     steps use the single-step block kernel. Returns
     ``(final_cells, tot_u_series)``. Storage dtype follows ``cells``
@@ -306,6 +306,8 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
     last_t, first_t = make_halos_t(cells, block, T)
     nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
     owner = jnp.ones((1, 1), jnp.float32)
+    if paired is None:
+        paired = paired_default()
 
     npasses = n_iters // T
     tot_u = jnp.zeros((n_iters,), jnp.float32)
@@ -314,7 +316,7 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
         state, tot_u = carry
         state, sums = step_t_pallas(
             state, nob_ext_arr, owner, density, accel, omega, block, T,
-            interpret=interpret,
+            interpret=interpret, paired=paired,
         )
         tot_u = jax.lax.dynamic_update_slice(
             tot_u, jnp.stack(sums), (T * j,)
@@ -331,7 +333,7 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
         nob_plain = nobst.astype(cells.dtype)
         carry = step.init_state(cells)
         for r in range(rem):
-            carry, s = step(carry, nob_plain, density, accel, omega)
+            carry, s = step(carry, nob_plain, density, accel, omega, paired=paired)
             tot_u = tot_u.at[n_iters - rem + r].set(s)
         cells = step.extract(carry)
     return cells, tot_u

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.models.d2q9 import D2Q9, LBMParams
+from lbm_tpu.ops.collision import paired_default
 from lbm_tpu.ops.reference import lbm_step_reference
 
 
@@ -175,10 +176,19 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "density", "accel", "omega", "step_fn"),
+    static_argnames=("n_iters", "density", "accel", "omega", "step_fn", "paired"),
     donate_argnums=(0,),
 )
-def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, step_fn):
+def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+              step_fn, paired=True):
+    # Env-style knobs (here the LBM_COLLIDE form) must arrive as STATIC jit
+    # args: jit.lower() serves cached traces for repeated identical
+    # signatures, so anything read from the environment under the trace is
+    # frozen by whichever call traced first.
+    if getattr(step_fn, "takes_paired", False):
+        call_step = functools.partial(step_fn, paired=paired)
+    else:
+        call_step = step_fn
     # The mean-velocity series stays f32 even under bf16 storage.
     av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
     av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
@@ -192,7 +202,7 @@ def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, s
 
     def body(tt, carry):
         state, av_vels = carry
-        state, tot_u = step_fn(state, obstacles, density, accel, omega)
+        state, tot_u = call_step(state, obstacles, density, accel, omega)
         av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
         return state, av_vels
 
@@ -204,16 +214,17 @@ def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, s
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "density", "accel", "omega", "interpret"),
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret", "paired"),
     donate_argnums=(0,),
 )
-def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega, interpret):
+def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+                  interpret, paired=True):
     from lbm_tpu.ops.pallas_resident import run_resident
 
     nobst = (obstacles == 0).astype(jnp.float32)
     cells, tot_u = run_resident(
         cells.astype(jnp.float32), nobst, density, accel, omega, n_iters,
-        interpret=interpret,
+        interpret=interpret, paired=paired,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -221,13 +232,14 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth"),
+                     "block", "depth", "paired"),
     donate_argnums=(0,),
 )
 def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-                  interpret, block, depth):
-    # block/depth are resolved by the caller OUTSIDE jit (env overrides like
-    # LBM_TEMPORAL_DEPTH must key the jit cache, not be read under a trace).
+                  interpret, block, depth, paired=True):
+    # block/depth/paired are resolved by the caller OUTSIDE jit (env overrides
+    # like LBM_TEMPORAL_DEPTH must key the jit cache, not be read under a
+    # trace).
     from lbm_tpu.ops.pallas_temporal import run_temporal
 
     if cells.dtype not in (jnp.float32, jnp.bfloat16):
@@ -235,7 +247,7 @@ def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
     nobst = (obstacles == 0).astype(cells.dtype)
     cells, tot_u = run_temporal(
         cells, nobst, density, accel, omega, n_iters,
-        block, depth, interpret=interpret,
+        block, depth, interpret=interpret, paired=paired,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -306,12 +318,15 @@ def run_simulation(
     inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
+    paired = paired_default()  # resolved OUTSIDE jit: it must key the cache
+
     def lower_chunk(cells, n_iters):
         common = dict(
             n_iters=n_iters,
             density=float(params.density),
             accel=float(params.accel),
             omega=float(params.omega),
+            paired=paired,
         )
         if resident_interpret is not None:
             return _run_resident.lower(

@@ -10,11 +10,13 @@ equivalence and the dispatch plumbing).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracle
 from lbm_tpu.models.d2q9 import LBMParams
 from lbm_tpu.ops.collision import bgk_relax, moments, paired_default
 from lbm_tpu.ops.pallas_step import _prepare_obstacles, lbm_step_pallas_interpret
+from lbm_tpu.runtime.driver import run_simulation
 
 PARAMS = LBMParams(
     nx=128, ny=32, max_iters=5, reynolds_dim=10, density=0.1, accel=0.005,
@@ -95,3 +97,26 @@ def test_knob_reaches_kernel_build(monkeypatch):
         out[mode] = np.asarray(new_cells)
     assert not np.array_equal(out["literal"], out["paired"])
     np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-8)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "resident", "temporal"])
+def test_knob_rekeys_driver_jit_cache(backend, monkeypatch):
+    """Toggling LBM_COLLIDE between two otherwise-identical run_simulation
+    calls must produce different programs. Regression: jit.lower() serves
+    cached traces for repeated identical signatures, so the collide form has
+    to travel as a static jit arg — an env read under the trace is frozen by
+    whichever call runs first (found live: a whole TPU A/B session ran one
+    program for both 'modes')."""
+    params = LBMParams(
+        nx=128, ny=16, max_iters=3, reynolds_dim=10, density=0.1,
+        accel=0.005, omega=1.85,
+    )
+    obstacles = np.zeros((16, 128), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    out = {}
+    for mode in ("literal", "paired"):
+        monkeypatch.setenv("LBM_COLLIDE", mode)
+        r = run_simulation(params, obstacles, backend=backend)
+        out[mode] = np.asarray(r.cells)
+    assert not np.array_equal(out["literal"], out["paired"])
+    np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-7)
