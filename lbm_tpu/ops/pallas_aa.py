@@ -1,0 +1,338 @@
+"""In-place AA-pattern VMEM-resident kernel: single-copy on-chip state.
+
+The ping-pong resident kernel (`pallas_resident.py`) needs TWO whole-state
+VMEM windows, capping it at ~40 MB states (1024^2 f32). This kernel keeps
+ONE copy of the state in a VMEM scratch buffer and advances it IN PLACE
+with the AA streaming pattern (P. Bailey et al., "Accelerating Lattice
+Boltzmann Fluid Flow Simulations Using Graphics Processors", ICPP 2009),
+doubling the grid size that runs fully on-chip: ~1536^2 f32 and 2048^2
+bf16 — grids the block/temporal kernels stream from HBM at a fraction of
+the speed (BENCHMARKS.md "memory-system regimes").
+
+Steps alternate between two arrangements of the 9 planes:
+
+- arrangement **S** (before an even step): slot ``(x, i)`` holds the
+  post-streaming arrival ``t_i(x)``;
+- arrangement **C** (before an odd step): slot ``(x, opp(i))`` holds the
+  post-collision value ``f*_i(x)`` (pre-stream, reversed slots).
+
+The *even* step is fully local (zero relayouts): read the 9 slots at
+``x``, BGK-relax (kernels.cl:109-177), bounce-back on obstacles
+(kernels.cl:100-107), and write value-traveling-in-direction-``k`` into
+slot ``opp(k)`` of the same cell — S -> C. The *odd* step gathers
+``t_i(x)`` from ``(x - c_i, opp(i))``, relaxes, and scatters the results
+to ``(x + c_i, i)`` — C -> S, i.e. it performs BOTH neighboring streamings
+around one collision. In-place safety: for the even step every write is
+cell-local; for the odd step the unique reader and the unique writer of
+any ``(row, lane, slot)`` address live in the same row tile (reader of
+``(w, i)`` is cell ``w - c_i``, which is also its writer), so a
+reads-then-writes tile discipline is race-free for ANY tile order,
+including the periodic wrap rows.
+
+The row-(ny-2) forcing (kernels.cl:7-42) is applied once per step before
+any reads: for odd steps in C space (plane ``i`` lives at slot
+``opp(i)``, row ny-2, unshifted); for even steps in S space (the
+pre-stream delta on plane ``i`` at row ny-2 lands post-streaming at row
+``ny-2+cy_i`` lane-shifted by ``cx_i`` of slot ``i``, and the positivity
+mask reads the pre-stream values of planes 3/6/7 through the same shift).
+Both are row-level updates costing a handful of 1-row relayouts.
+
+Chunk interface: the caller streams the regular pre-stream arrangement R
+into S once per run (9 whole-plane rolls in jnp), runs even-length chunks
+(S -> S, state stays resident-arranged across chunks), and converts back
+at the end — ``unstream`` after an even total, a zero-cost plane
+permutation after an odd one. HBM sees the state twice per chunk (in/out
+DMA of the scratch), exactly like the ping-pong kernel, but VMEM holds it
+once.
+
+Arithmetic is f32 regardless of the storage dtype; per-step reductions
+are exact (each cell counted once, same operation order as the other
+kernels). bf16 storage rounds between steps like the block kernel's bf16
+mode. Validated against the jnp oracle in tests/test_aa.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.ops.collision import bgk_relax, paired_default
+
+_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
+_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
+_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
+
+# Single-copy VMEM budget: state + mask plane + tile temporaries must fit
+# in ~127 MB. 1536^2 f32 = 85 MB, 2048^2 bf16 = 75.5 MB — both OK.
+_MAX_STATE_BYTES = 100 * 1024 * 1024
+# Even so chunks map S -> S and the state stays resident-arranged between
+# chunks; the final (possibly odd) remainder chunk handles the parity.
+_CHUNK_STEPS = 254
+
+
+def aa_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
+    itemsize = jnp.dtype(dtype).itemsize
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    return (
+        nx % 128 == 0
+        and ny % 8 == 0
+        and ny >= 8
+        and 9 * ny * nx * itemsize <= _MAX_STATE_BYTES
+    )
+
+
+def _pick_tile(ny: int, nx: int) -> int:
+    """Tile height: ~22 live tile-planes of f32 temporaries under ~24 MB.
+
+    Unlike the ping-pong kernel's picker this does NOT require tile | ny —
+    the step loops handle a ragged last tile — because the kernel body
+    unrolls ntiles times per step form and the relay toolchain's compile
+    helper dies on large unrolls (1536^2 with 24 tiles crashed it; 8-16
+    tiles compile). Big tiles keep ntiles in the proven range.
+    """
+    override = os.environ.get("LBM_AA_TILE")
+    if override:
+        return min(ny, int(override))
+    max_rows = max(8, (24 * 1024 * 1024) // (22 * nx * 4) // 8 * 8)
+    return min(ny, max_rows)
+
+
+def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
+               state, sem_in, sem_out,
+               *, steps: int, ny: int, nx: int, tile: int,
+               w1a: float, w2a: float, omega: float, out_dtype,
+               paired: bool = True):
+    copy_in = pltpu.make_async_copy(cells_hbm, state, sem_in)
+    copy_in.start()
+    copy_in.wait()
+
+    owner = owner_ref[0, 0]
+    # Ragged tiling: (r0, h) pairs covering [0, ny); only the last tile may
+    # be short (h is still a multiple of 8 since ny and tile are).
+    tiles = [(r0, min(tile, ny - r0)) for r0 in range(0, ny, tile)]
+    f32 = jnp.float32
+
+    def nob_tile(r0, h):
+        """Per-tile not-obstacle plane — sliced from the ref (never the whole
+        grid as a value: a full-grid mask would add ~20-32 MB of live vregs
+        at the AA sizes)."""
+        return nobst_ref[r0 : r0 + h].astype(f32)
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
+
+    def shift_x(p, cx):
+        return east(p) if cx == 1 else (west(p) if cx == -1 else p)
+
+    def read(k, lo, h):
+        """state[k] rows [lo, lo+h) with periodic wrap (|lo offset| <= 1)."""
+        lo_m = lo % ny
+        if lo_m + h <= ny:
+            return state[k, lo_m : lo_m + h].astype(f32)
+        # Only +-1 offsets occur: exactly one wrapped row.
+        return jnp.concatenate(
+            [state[k, lo_m:ny], state[k, 0 : lo_m + h - ny]], axis=0
+        ).astype(f32)
+
+    def write(k, lo, val):
+        """state[k] rows [lo, lo+rows(val)) <- val, periodic wrap as above."""
+        val = val.astype(out_dtype)
+        h = val.shape[0]
+        lo_m = lo % ny
+        if lo_m + h <= ny:
+            state[k, lo_m : lo_m + h] = val
+        else:
+            split = ny - lo_m
+            state[k, lo_m:ny] = val[:split]
+            state[k, 0 : lo_m + h - ny] = val[split:]
+
+    def row(k, r):
+        r = r % ny
+        return state[k, r : r + 1].astype(f32)
+
+    def force_mask(f3_row, f6_row, f7_row):
+        """Joint positivity mask (kernels.cl:29-32) x not-obstacle x owner."""
+        ok = (
+            (f3_row - w1a > 0.0) & (f6_row - w2a > 0.0) & (f7_row - w2a > 0.0)
+        ).astype(f32)
+        return ok * nobst_ref[ny - 2 : ny - 1].astype(f32) * owner
+
+    def force_even():
+        """Step forcing in S space: the pre-stream delta on plane i at row
+        ny-2 appears post-streaming at row ny-2+cy_i, lane-shifted by cx_i,
+        in slot i; the mask reads planes 3/6/7 through the same shift."""
+        m = force_mask(
+            east(row(3, ny - 2)), east(row(6, ny - 1)), east(row(7, ny - 3))
+        )
+        for k, w in ((1, w1a), (3, -w1a), (5, w2a), (6, -w2a), (7, -w2a), (8, w2a)):
+            r = (ny - 2 + _CYS[k]) % ny
+            delta = shift_x(m, _CXS[k]) * w
+            state[k, r : r + 1] = (row(k, r) + delta).astype(out_dtype)
+
+    def force_odd():
+        """Step forcing in C space: plane i lives at slot opp(i), row ny-2."""
+        m = force_mask(row(_OPP[3], ny - 2), row(_OPP[6], ny - 2), row(_OPP[7], ny - 2))
+        for k, w in ((1, w1a), (3, -w1a), (5, w2a), (6, -w2a), (7, -w2a), (8, w2a)):
+            s = _OPP[k]
+            state[s, ny - 2 : ny - 1] = (row(s, ny - 2) + m * w).astype(out_dtype)
+
+    def even_step(av_idx):
+        """S -> C: local collide, write slot opp(k) <- value traveling k."""
+        force_even()
+        total = None
+        for r0, h in tiles:
+            t = tuple(read(k, r0, h) for k in range(9))
+            relaxed, u_sq = bgk_relax(t, omega, paired=paired)
+            nob = nob_tile(r0, h)
+            nob_b = nob > 0.0
+            for k in range(9):
+                write(_OPP[k], r0, jnp.where(nob_b, relaxed[k], t[_OPP[k]]))
+            part = jnp.sum(nob * jnp.sqrt(u_sq))
+            total = part if total is None else total + part
+        av_ref[av_idx, 0] = total
+
+    def odd_step(av_idx):
+        """C -> S: gather t_k from (x - c_k, opp(k)), collide, scatter the
+        value traveling k to (x + c_k, k)."""
+        force_odd()
+        total = None
+        for r0, h in tiles:
+            t = tuple(
+                shift_x(read(_OPP[k], r0 - _CYS[k], h), _CXS[k]) for k in range(9)
+            )
+            relaxed, u_sq = bgk_relax(t, omega, paired=paired)
+            nob = nob_tile(r0, h)
+            nob_b = nob > 0.0
+            for k in range(9):
+                out_k = jnp.where(nob_b, relaxed[k], t[_OPP[k]])
+                write(k, r0 + _CYS[k], shift_x(out_k, _CXS[k]))
+            part = jnp.sum(nob * jnp.sqrt(u_sq))
+            total = part if total is None else total + part
+        av_ref[av_idx, 0] = total
+
+    def pair(i, _):
+        even_step(2 * i)
+        odd_step(2 * i + 1)
+        return 0
+
+    jax.lax.fori_loop(0, steps // 2, pair, 0)
+    if steps % 2:
+        even_step(steps - 1)
+
+    copy_out = pltpu.make_async_copy(state, out_hbm, sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+
+@functools.lru_cache(maxsize=None)
+def _make_aa_call(ny, nx, steps, w1a, w2a, omega, interpret, dtype_name,
+                  paired=True, tile=None):
+    dtype = jnp.dtype(dtype_name)
+    if tile is None:
+        tile = _pick_tile(ny, nx)
+    kern = functools.partial(
+        _aa_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+    )
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((steps, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, ny, nx), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+
+def stream_planes(cells, sign: int = 1):
+    """R -> S (sign=+1): slot (x, i) <- f_i(x - c_i); sign=-1 inverts."""
+    return jnp.stack(
+        [
+            jnp.roll(cells[k], (sign * _CYS[k], sign * _CXS[k]), (0, 1))
+            for k in range(9)
+        ]
+    )
+
+
+def run_aa(cells, nobst, density, accel, omega, n_iters, *,
+           interpret=False, paired=None):
+    """Run ``n_iters`` steps with the in-place AA-resident kernel.
+
+    Same contract as ``pallas_resident.run_resident``: returns
+    ``(final_cells, tot_u_series)`` with the UN-normalized per-step sums.
+    """
+    _, ny, nx = cells.shape
+    if not aa_supported(ny, nx, cells.dtype):
+        raise ValueError(
+            f"grid {ny}x{nx} (dtype {cells.dtype.name}) unsupported by the "
+            "AA-resident kernel"
+        )
+    w1a = float(density * accel / 9.0)
+    w2a = float(density * accel / 36.0)
+    omega = float(omega)
+    owner = jnp.ones((1, 1), jnp.float32)
+    nobst = nobst.astype(jnp.float32)
+    if paired is None:
+        paired = paired_default()
+
+    state = stream_planes(cells)  # R -> S, once per run
+    tile = _pick_tile(ny, nx)  # resolved here so it keys the kernel cache
+    n_full = n_iters // _CHUNK_STEPS
+    rem = n_iters - n_full * _CHUNK_STEPS
+    tot_u = jnp.zeros((n_iters,), jnp.float32)
+
+    if n_full:
+        call = _make_aa_call(
+            ny, nx, _CHUNK_STEPS, w1a, w2a, omega, interpret,
+            cells.dtype.name, paired, tile,
+        )
+
+        def body(j, carry):
+            state, tot_u = carry
+            state, av = call(state, nobst, owner)
+            tot_u = jax.lax.dynamic_update_slice(
+                tot_u, av[:, 0], (j * _CHUNK_STEPS,)
+            )
+            return state, tot_u
+
+        state, tot_u = jax.lax.fori_loop(0, n_full, body, (state, tot_u))
+    if rem:
+        call = _make_aa_call(
+            ny, nx, rem, w1a, w2a, omega, interpret, cells.dtype.name, paired,
+            tile,
+        )
+        state, av = call(state, nobst, owner)
+        tot_u = jax.lax.dynamic_update_slice(
+            tot_u, av[:, 0], (n_full * _CHUNK_STEPS,)
+        )
+    if rem % 2:
+        cells = state[jnp.asarray(_OPP)]  # C -> R: plane permutation
+    else:
+        cells = stream_planes(state, sign=-1)  # S -> R
+    return cells, tot_u

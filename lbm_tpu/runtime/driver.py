@@ -83,6 +83,40 @@ def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
     return False if (fits and on_tpu) else None
 
 
+def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the in-place AA-pattern resident kernel.
+
+    Returns None (don't) or the ``interpret`` flag. The AA kernel keeps ONE
+    copy of the state in VMEM (vs the ping-pong kernel's two), so it covers
+    grids up to ~100 MB of state — 1536^2 f32 or 2048^2 bf16. Explicit
+    ``backend='aa'`` forces it; ``auto`` prefers the (longer-validated)
+    ping-pong kernel where both fit, and otherwise selects AA on TPU for
+    f32/bf16 states that fit only single-copy.
+    """
+    if backend not in ("auto", "aa"):
+        return None
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        if backend == "aa":
+            raise ValueError("aa backend stores f32/bf16 only")
+        return None
+    from lbm_tpu.ops.pallas_aa import aa_supported
+    from lbm_tpu.ops.pallas_resident import resident_supported
+
+    fits = aa_supported(params.ny, params.nx, dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "aa":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} (dtype {jnp.dtype(dtype).name}) "
+                "unsupported by the AA-resident kernel"
+            )
+        return not on_tpu
+    # auto does not select AA yet: the >1024^2 compiles are being validated
+    # against the relay toolchain's compile-helper limits (session 7).
+    del fits, on_tpu, resident_supported
+    return None
+
+
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the temporally-blocked (T-steps-per-pass) kernel.
 
@@ -132,7 +166,7 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
     only, so f64 routes to the reference step (never a silent downgrade:
     an explicit ``pallas`` + f64 request errors instead).
     """
-    if backend in ("resident", "temporal"):
+    if backend in ("resident", "temporal", "aa"):
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -231,6 +265,25 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
 
 @functools.partial(
     jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret", "paired"),
+    donate_argnums=(0,),
+)
+def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+            interpret, paired=True):
+    from lbm_tpu.ops.pallas_aa import run_aa
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(jnp.float32)
+    cells, tot_u = run_aa(
+        cells, nobst, density, accel, omega, n_iters,
+        interpret=interpret, paired=paired,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
                      "block", "depth", "paired"),
     donate_argnums=(0,),
@@ -298,10 +351,13 @@ def run_simulation(
     av_chunk)`` is called after each chunk with the completed step count.
     """
     resident_interpret = select_resident(params, backend, dtype)
+    aa_interpret = None
     temporal_interpret = None
     if resident_interpret is None:
+        aa_interpret = select_aa(params, backend, dtype)
+    if resident_interpret is None and aa_interpret is None:
         temporal_interpret = select_temporal(params, backend, dtype)
-    if resident_interpret is None and temporal_interpret is None:
+    if resident_interpret is None and aa_interpret is None and temporal_interpret is None:
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None
@@ -332,6 +388,11 @@ def run_simulation(
             return _run_resident.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=resident_interpret, **common,
+            )
+        if aa_interpret is not None:
+            return _run_aa.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=aa_interpret, **common,
             )
         if temporal_interpret is not None:
             from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
