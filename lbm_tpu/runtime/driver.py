@@ -83,15 +83,35 @@ def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
     return False if (fits and on_tpu) else None
 
 
+# Auto-dispatch ceiling for the AA kernel on this relay toolchain: 1280^2
+# f32 (59 MB state) compiles and runs; 73 MB states crash the compile
+# helper at any tile count/scratch split (bench_r2_tpu7/8.json). Explicit
+# --backend aa may still try larger states (standard toolchains take them).
+_AA_AUTO_MAX_STATE = 60 * 1024 * 1024
+# bf16 compiles are more fragile still: 1024^2 bf16 (19 MB) compiles and
+# beats the block kernel +53-64% (bench_r2_tpu9.json), but 1280^2 bf16
+# (29.5 MB) crashes the helper even though the same shape compiles at f32
+# — the bf16 packed-store lowering inflates whatever resource the helper
+# exhausts. Auto stays at on-TPU-validated sizes.
+_AA_AUTO_MAX_STATE_BF16 = 20 * 1024 * 1024
+
+
 def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the in-place AA-pattern resident kernel.
 
     Returns None (don't) or the ``interpret`` flag. The AA kernel keeps ONE
-    copy of the state in VMEM (vs the ping-pong kernel's two), so it covers
-    grids up to ~100 MB of state — 1536^2 f32 or 2048^2 bf16. Explicit
-    ``backend='aa'`` forces it; ``auto`` prefers the (longer-validated)
-    ping-pong kernel where both fit, and otherwise selects AA on TPU for
-    f32/bf16 states that fit only single-copy.
+    copy of the state in VMEM (vs the ping-pong kernel's two). Measured
+    policy for ``auto`` on TPU (bench_r2_tpu8/9.json):
+
+    - f32 tiny states (value-carry regime, <= 4 MB): AA wins 1.4x
+      (256^2: 23.9k vs 17.1k MLUPS same-session);
+    - f32 4-40 MB: statistical tie with the ping-pong kernel (1024^2:
+      sessions split, +-5%) — the longer-validated ping-pong path keeps it;
+    - f32 40-60 MB (fits nothing else on-chip): AA wins 1.75x over
+      temporal (1280^2: 12.6k vs 7.4k);
+    - bf16 <= 20 MB: AA wins +53-64% over the block kernel (1024^2 bf16:
+      17.0k/15.4k vs 10.4k/10.1k); larger bf16 states crash this
+      toolchain's compile helper and fall back to the block kernel.
     """
     if backend not in ("auto", "aa"):
         return None
@@ -100,7 +120,7 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
             raise ValueError("aa backend stores f32/bf16 only")
         return None
     from lbm_tpu.ops.pallas_aa import aa_supported
-    from lbm_tpu.ops.pallas_resident import resident_supported
+    from lbm_tpu.ops.pallas_resident import _VALUE_CARRY_BYTES, resident_supported
 
     fits = aa_supported(params.ny, params.nx, dtype)
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -111,10 +131,19 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
                 "unsupported by the AA-resident kernel"
             )
         return not on_tpu
-    # auto does not select AA yet: the >1024^2 compiles are being validated
-    # against the relay toolchain's compile-helper limits (session 7).
-    del fits, on_tpu, resident_supported
-    return None
+    if not (fits and on_tpu):
+        return None
+    state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
+        # AA beats the bf16 block kernel +53-64% where it compiles
+        # (bench_r2_tpu9.json); above the validated size it falls back.
+        return False if state_bytes <= _AA_AUTO_MAX_STATE_BF16 else None
+    small = state_bytes <= _VALUE_CARRY_BYTES
+    mid_gap = (
+        not resident_supported(params.ny, params.nx, dtype)
+        and state_bytes <= _AA_AUTO_MAX_STATE
+    )
+    return False if (small or mid_gap) else None
 
 
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -350,14 +379,17 @@ def run_simulation(
     checkpointing (e.g. per-step debug reports): ``on_chunk(step, cells,
     av_chunk)`` is called after each chunk with the completed step count.
     """
-    resident_interpret = select_resident(params, backend, dtype)
-    aa_interpret = None
+    # AA is consulted first: its auto policy claims the value-carry regime
+    # (1.4x) and the 40-60 MB single-copy gap (1.75x); the ping-pong
+    # resident kernel keeps the 4-40 MB middle.
+    aa_interpret = select_aa(params, backend, dtype)
+    resident_interpret = None
     temporal_interpret = None
-    if resident_interpret is None:
-        aa_interpret = select_aa(params, backend, dtype)
-    if resident_interpret is None and aa_interpret is None:
+    if aa_interpret is None:
+        resident_interpret = select_resident(params, backend, dtype)
+    if aa_interpret is None and resident_interpret is None:
         temporal_interpret = select_temporal(params, backend, dtype)
-    if resident_interpret is None and aa_interpret is None and temporal_interpret is None:
+    if aa_interpret is None and resident_interpret is None and temporal_interpret is None:
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None

@@ -1,0 +1,76 @@
+"""Auto-dispatch policy (driver.select_*): which kernel serves which regime.
+
+The policy constants come from the round-2 measured A/Bs (BENCHMARKS.md,
+bench_r2_tpu8.json): AA takes the value-carry regime (<= 4 MB states,
+1.4x) and the 40-60 MB single-copy gap (1.75x over temporal); ping-pong
+resident keeps 4-40 MB; temporal covers f32 beyond AA's auto ceiling;
+bf16 never auto-selects AA (no on-TPU compile evidence) or temporal
+(block wins, BENCHMARKS.md). These tests pin the policy on a fake TPU
+platform so a dispatch change must be deliberate.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import pytest
+
+from lbm_tpu.models.d2q9 import LBMParams
+from lbm_tpu.runtime import driver
+
+
+@pytest.fixture
+def on_tpu(monkeypatch):
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(driver.jax, "devices", lambda: [_Dev()])
+
+
+def p(ny, nx):
+    return LBMParams(
+        nx=nx, ny=ny, max_iters=10, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+
+
+def test_auto_small_grids_pick_aa(on_tpu):
+    # 256^2 f32 = 2.25 MB: value-carry regime, AA wins 1.4x.
+    for ny, nx in ((128, 128), (256, 128), (256, 256)):
+        assert driver.select_aa(p(ny, nx), "auto", jnp.float32) is False
+
+
+def test_auto_middle_keeps_resident(on_tpu):
+    # 512^2 (9 MB) .. 1024^2 (36 MB): ping-pong keeps the slot (tie).
+    for ny, nx in ((512, 512), (1024, 1024)):
+        assert driver.select_aa(p(ny, nx), "auto", jnp.float32) is None
+        assert driver.select_resident(p(ny, nx), "auto", jnp.float32) is False
+
+
+def test_auto_gap_picks_aa(on_tpu):
+    # 1280^2 f32 = 59 MB: fits neither ping-pong nor the relay compile
+    # ceiling excludes it; AA wins 1.75x over temporal.
+    assert driver.select_aa(p(1280, 1280), "auto", jnp.float32) is False
+
+
+def test_auto_beyond_aa_ceiling_uses_temporal(on_tpu):
+    # 1536^2 f32 = 85 MB: above the relay-validated AA ceiling.
+    assert driver.select_aa(p(1536, 1536), "auto", jnp.float32) is None
+    assert driver.select_temporal(p(1536, 1536), "auto", jnp.float32) is False
+
+
+def test_auto_bf16_aa_small_only(on_tpu):
+    # bf16 AA wins +53-64% at validated sizes (<= 20 MB states); larger
+    # bf16 states crash this toolchain's compile helper -> block kernel.
+    assert driver.select_aa(p(256, 256), "auto", jnp.bfloat16) is False
+    assert driver.select_aa(p(1024, 1024), "auto", jnp.bfloat16) is False
+    assert driver.select_aa(p(1280, 1280), "auto", jnp.bfloat16) is None
+    assert driver.select_temporal(p(1280, 1280), "auto", jnp.bfloat16) is None
+
+
+def test_forced_aa_off_tpu_interprets():
+    assert driver.select_aa(p(256, 256), "aa", jnp.float32) is True
+
+
+def test_forced_aa_rejects_f64():
+    with pytest.raises(ValueError, match="f32/bf16"):
+        driver.select_aa(p(256, 256), "aa", jnp.float64)
