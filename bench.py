@@ -2,7 +2,7 @@
 """Benchmark: single-chip throughput on the reference's largest config.
 
 Runs the 1024x1024 lattice (input_1024x1024.params geometry) with the fused
-Pallas kernel on the first available device, times a 2000-iteration jitted
+Pallas kernel on the first available device, times a 6000-iteration jitted
 loop after AOT compile + warmup, and prints ONE JSON line:
 
     {"metric": "mlups_1024x1024", "value": ..., "unit": "MLUPS", "vs_baseline": ...}
@@ -29,7 +29,11 @@ def main() -> int:
     params = read_params("/root/reference/input_1024x1024.params")
     obstacles = read_obstacles("/root/reference/obstacles_1024x1024.dat", params)
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    # 6000 iters (~0.3 s loop at the resident kernel's rate): long enough
+    # that the relay's fixed per-run sync overhead (~10-30 ms) is noise --
+    # 2000-iter runs under-reported by ~30% (13.8k vs the same kernel's
+    # 20-21k in 6000-iter sessions, bench_r2_tpu5/8.json).
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
     p = dataclasses.replace(params, max_iters=iters)
 
     platform = jax.devices()[0].platform
