@@ -94,6 +94,10 @@ _AA_AUTO_MAX_STATE = 60 * 1024 * 1024
 # — the bf16 packed-store lowering inflates whatever resource the helper
 # exhausts. Auto stays at on-TPU-validated sizes.
 _AA_AUTO_MAX_STATE_BF16 = 20 * 1024 * 1024
+# f32 states up to here go to AA outright (wins every measured A/B: +40%
+# at 256^2, +12-17% at 512^2); between this and the ping-pong cap the two
+# kernels tie at 1024^2 and the longer-validated ping-pong path keeps it.
+_AA_SMALL_MAX_STATE = 16 * 1024 * 1024
 
 
 def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -103,9 +107,10 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     copy of the state in VMEM (vs the ping-pong kernel's two). Measured
     policy for ``auto`` on TPU (bench_r2_tpu8/9.json):
 
-    - f32 tiny states (value-carry regime, <= 4 MB): AA wins 1.4x
-      (256^2: 23.9k vs 17.1k MLUPS same-session);
-    - f32 4-40 MB: statistical tie with the ping-pong kernel (1024^2:
+    - f32 small states (<= 16 MB): AA wins — 1.4x in the value-carry
+      regime (256^2: 23.9k vs 17.1k MLUPS same-session) and +12-17% at
+      512^2 (26.0k vs 23.1k, bench_r2_tpu10.json);
+    - f32 16-40 MB: statistical tie with the ping-pong kernel (1024^2:
       sessions split, +-5%) — the longer-validated ping-pong path keeps it;
     - f32 40-60 MB (fits nothing else on-chip): AA wins 1.75x over
       temporal (1280^2: 12.6k vs 7.4k);
@@ -120,7 +125,7 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
             raise ValueError("aa backend stores f32/bf16 only")
         return None
     from lbm_tpu.ops.pallas_aa import aa_supported
-    from lbm_tpu.ops.pallas_resident import _VALUE_CARRY_BYTES, resident_supported
+    from lbm_tpu.ops.pallas_resident import resident_supported
 
     fits = aa_supported(params.ny, params.nx, dtype)
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -138,7 +143,7 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
         # AA beats the bf16 block kernel +53-64% where it compiles
         # (bench_r2_tpu9.json); above the validated size it falls back.
         return False if state_bytes <= _AA_AUTO_MAX_STATE_BF16 else None
-    small = state_bytes <= _VALUE_CARRY_BYTES
+    small = state_bytes <= _AA_SMALL_MAX_STATE
     mid_gap = (
         not resident_supported(params.ny, params.nx, dtype)
         and state_bytes <= _AA_AUTO_MAX_STATE

@@ -34,16 +34,16 @@ def p(ny, nx):
 
 
 def test_auto_small_grids_pick_aa(on_tpu):
-    # 256^2 f32 = 2.25 MB: value-carry regime, AA wins 1.4x.
-    for ny, nx in ((128, 128), (256, 128), (256, 256)):
+    # <= 16 MB states: AA wins every measured A/B (256^2 +40%, 512^2
+    # +12-17%).
+    for ny, nx in ((128, 128), (256, 128), (256, 256), (512, 512)):
         assert driver.select_aa(p(ny, nx), "auto", jnp.float32) is False
 
 
 def test_auto_middle_keeps_resident(on_tpu):
-    # 512^2 (9 MB) .. 1024^2 (36 MB): ping-pong keeps the slot (tie).
-    for ny, nx in ((512, 512), (1024, 1024)):
-        assert driver.select_aa(p(ny, nx), "auto", jnp.float32) is None
-        assert driver.select_resident(p(ny, nx), "auto", jnp.float32) is False
+    # 16-40 MB (1024^2 = 36 MB): ping-pong keeps the slot (tie).
+    assert driver.select_aa(p(1024, 1024), "auto", jnp.float32) is None
+    assert driver.select_resident(p(1024, 1024), "auto", jnp.float32) is False
 
 
 def test_auto_gap_picks_aa(on_tpu):
