@@ -94,10 +94,6 @@ _AA_AUTO_MAX_STATE = 60 * 1024 * 1024
 # — the bf16 packed-store lowering inflates whatever resource the helper
 # exhausts. Auto stays at on-TPU-validated sizes.
 _AA_AUTO_MAX_STATE_BF16 = 20 * 1024 * 1024
-# f32 states up to here go to AA outright (wins every measured A/B: +40%
-# at 256^2, +12-17% at 512^2); between this and the ping-pong cap the two
-# kernels tie at 1024^2 and the longer-validated ping-pong path keeps it.
-_AA_SMALL_MAX_STATE = 16 * 1024 * 1024
 
 
 def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -107,13 +103,11 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     copy of the state in VMEM (vs the ping-pong kernel's two). Measured
     policy for ``auto`` on TPU (bench_r2_tpu8/9.json):
 
-    - f32 small states (<= 16 MB): AA wins — 1.4x in the value-carry
-      regime (256^2: 23.9k vs 17.1k MLUPS same-session) and +12-17% at
-      512^2 (26.0k vs 23.1k, bench_r2_tpu10.json);
-    - f32 16-40 MB: statistical tie with the ping-pong kernel (1024^2:
-      sessions split, +-5%) — the longer-validated ping-pong path keeps it;
-    - f32 40-60 MB (fits nothing else on-chip): AA wins 1.75x over
-      temporal (1280^2: 12.6k vs 7.4k);
+    - f32 <= 60 MB: AA everywhere — 1.4x in the value-carry regime
+      (256^2: 23.9k vs 17.1k MLUPS same-session), +12-17% at 512^2
+      (26.0k vs 23.1k), +3% at 1024^2 full-official (24,866 vs 24,194;
+      AA won 6 of 7 same-session brackets across sessions 6/8/11), and
+      1.75x over temporal in the 40-60 MB gap (1280^2: 12.6k vs 7.4k);
     - bf16 <= 20 MB: AA wins +53-64% over the block kernel (1024^2 bf16:
       17.0k/15.4k vs 10.4k/10.1k); larger bf16 states crash this
       toolchain's compile helper and fall back to the block kernel.
@@ -143,12 +137,8 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
         # AA beats the bf16 block kernel +53-64% where it compiles
         # (bench_r2_tpu9.json); above the validated size it falls back.
         return False if state_bytes <= _AA_AUTO_MAX_STATE_BF16 else None
-    small = state_bytes <= _AA_SMALL_MAX_STATE
-    mid_gap = (
-        not resident_supported(params.ny, params.nx, dtype)
-        and state_bytes <= _AA_AUTO_MAX_STATE
-    )
-    return False if (small or mid_gap) else None
+    del resident_supported  # ping-pong remains available via --backend resident
+    return False if state_bytes <= _AA_AUTO_MAX_STATE else None
 
 
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
