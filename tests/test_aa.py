@@ -119,6 +119,26 @@ def test_aa_backend_in_driver():
     np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-4)
 
 
+def test_aa_resume_reproduces_uninterrupted_run():
+    """Chunk-boundary invariance: the R-arranged interface makes
+    stop-at-k + resume bit-identical to an uninterrupted run (the entry/
+    exit stream/permute conversions move data without arithmetic), for an
+    odd split (C-exit) as well."""
+    params = dataclasses.replace(PARAMS, max_iters=12)
+    _, obstacles = make_setup(params, seed=5)
+    full = run_simulation(params, obstacles, backend="aa")
+    first5 = run_simulation(
+        dataclasses.replace(params, max_iters=5), obstacles, backend="aa"
+    )
+    resumed = run_simulation(
+        params, obstacles, backend="aa",
+        initial_cells=first5.cells, start_step=5,
+        av_vels_prefix=first5.av_vels,
+    )
+    np.testing.assert_allclose(resumed.cells, full.cells, rtol=0, atol=0)
+    np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=0, atol=0)
+
+
 def test_aa_rejects_unsupported():
     params = dataclasses.replace(PARAMS, nx=100)
     with pytest.raises(ValueError, match="unsupported"):
