@@ -141,6 +141,13 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     return False if state_bytes <= _AA_AUTO_MAX_STATE else None
 
 
+# bf16 block-vs-temporal crossover (bench_r2_tpu14.json): block wins at
+# 2048^2 (75.5 MB bf16 state), the temporal kernel wins at 8192^2
+# (1.2 GB state). The crossover sits somewhere in between (4096^2 bf16
+# unmeasured); 1 GB routes only the proven-win sizes to temporal.
+_TEMPORAL_BF16_MIN_STATE = 1024 * 1024 * 1024
+
+
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the temporally-blocked (T-steps-per-pass) kernel.
 
@@ -167,12 +174,16 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
                 f"grid {params.ny}x{params.nx} unsupported by the temporal kernel"
             )
         return not on_tpu
-    # auto: f32 HBM-bound grids only. The VMEM-resident kernel wins when the
-    # f32 state fits on-chip; for bf16 the BLOCK kernel wins everywhere (the
-    # halved traffic drops below the temporal kernel's compute/relayout
-    # ceiling — measured 2048^2 bf16: block 7,050 vs temporal 4,900-5,200
-    # MLUPS, bench_r2_tpu2.json), so bf16 never auto-selects temporal.
+    # auto: HBM-bound grids only (the resident kernels win when the state
+    # fits on-chip). For bf16 the crossover is size-dependent: the block
+    # kernel's halved traffic wins at 2048^2 (7,513 vs temporal 5,774,
+    # bench_r2_tpu14.json — the trapezoid's redundant compute dominates
+    # there), but at 8192^2 the temporal kernel's further traffic cut wins
+    # (9,277 vs 8,310) — so bf16 selects temporal only for >=1 GB states.
+    state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
     if dtype == jnp.bfloat16:
+        if fits and on_tpu and state_bytes >= _TEMPORAL_BF16_MIN_STATE:
+            return False
         return None
     if fits and on_tpu and not resident_supported(
         params.ny, params.nx, jnp.float32

@@ -68,6 +68,13 @@ def test_auto_bf16_aa_small_only(on_tpu):
     assert driver.select_temporal(p(1280, 1280), "auto", jnp.bfloat16) is None
 
 
+def test_auto_bf16_temporal_above_1gb(on_tpu):
+    # bf16 crossover (bench_r2_tpu14.json): block wins at 2048^2, the
+    # temporal kernel wins at 8192^2 -> temporal only for >= 1 GB states.
+    assert driver.select_temporal(p(2048, 2048), "auto", jnp.bfloat16) is None
+    assert driver.select_temporal(p(8192, 8192), "auto", jnp.bfloat16) is False
+
+
 def test_forced_aa_off_tpu_interprets():
     assert driver.select_aa(p(256, 256), "aa", jnp.float32) is True
 
