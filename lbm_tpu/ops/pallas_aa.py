@@ -103,40 +103,38 @@ def _pick_tile(ny: int, nx: int) -> int:
     return min(ny, max_rows)
 
 
-# The state scratch is SPLIT into two VMEM allocations (planes 0-4 and
-# 5-8): the relay toolchain's compile helper dies on any single VMEM
-# allocation much above ~40-60 MB (an 85 MB scratch crashed it at every
-# tile count; the ping-pong kernel's <=40 MB windows never did), and the
-# split keeps the largest allocation at 5/9 of the state with no change
-# to the access pattern.
-_SPLIT = 5
+# The state scratch is SPLIT into one VMEM allocation PER PLANE: the
+# relay toolchain's compile helper dies on kernels with large VMEM
+# allocations (an 85 MB whole-state scratch and 47 MB half-splits crashed
+# it at every tile count; ~33 MB allocations compile), and per-plane
+# scratches keep the largest allocation at 1/9 of the state with no
+# change to the access pattern.
 
 
 def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
-               state_lo, state_hi, sem_in, sem_out,
-               *, steps: int, ny: int, nx: int, tile: int,
+               *scratch,
+               steps: int, ny: int, nx: int, tile: int,
                w1a: float, w2a: float, omega: float, out_dtype,
                paired: bool = True):
+    planes = scratch[:9]
+    sem_in, sem_out = scratch[9], scratch[10]
+
     class _Planes:
-        """state[k, rows] views dispatching to the split scratches."""
+        """state[k, rows] views dispatching to the per-plane scratches."""
 
         def __getitem__(self, idx):
             k, rows = idx
-            ref = state_lo if k < _SPLIT else state_hi
-            return ref[k if k < _SPLIT else k - _SPLIT, rows]
+            return planes[k][rows]
 
         def __setitem__(self, idx, val):
             k, rows = idx
-            ref = state_lo if k < _SPLIT else state_hi
-            ref[k if k < _SPLIT else k - _SPLIT, rows] = val
+            planes[k][rows] = val
 
     state = _Planes()
-    copy_in = pltpu.make_async_copy(cells_hbm.at[:_SPLIT], state_lo, sem_in)
-    copy_in.start()
-    copy_in.wait()
-    copy_in2 = pltpu.make_async_copy(cells_hbm.at[_SPLIT:], state_hi, sem_in)
-    copy_in2.start()
-    copy_in2.wait()
+    for k in range(9):
+        copy_in = pltpu.make_async_copy(cells_hbm.at[k], planes[k], sem_in)
+        copy_in.start()
+        copy_in.wait()
 
     owner = owner_ref[0, 0]
     # Ragged tiling: (r0, h) pairs covering [0, ny); only the last tile may
@@ -254,12 +252,10 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
     if steps % 2:
         even_step(steps - 1)
 
-    copy_out = pltpu.make_async_copy(state_lo, out_hbm.at[:_SPLIT], sem_out)
-    copy_out.start()
-    copy_out.wait()
-    copy_out2 = pltpu.make_async_copy(state_hi, out_hbm.at[_SPLIT:], sem_out)
-    copy_out2.start()
-    copy_out2.wait()
+    for k in range(9):
+        copy_out = pltpu.make_async_copy(planes[k], out_hbm.at[k], sem_out)
+        copy_out.start()
+        copy_out.wait()
 
 
 @functools.lru_cache(maxsize=None)
@@ -287,12 +283,8 @@ def _make_aa_call(ny, nx, steps, w1a, w2a, omega, interpret, dtype_name,
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
             jax.ShapeDtypeStruct((steps, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((_SPLIT, ny, nx), dtype),
-            pltpu.VMEM((9 - _SPLIT, ny, nx), dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((ny, nx), dtype) for _ in range(9)]
+        + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
