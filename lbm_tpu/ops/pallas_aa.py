@@ -87,19 +87,30 @@ def aa_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
     )
 
 
-def _pick_tile(ny: int, nx: int) -> int:
-    """Tile height: ~22 live tile-planes of f32 temporaries under ~24 MB.
+# The relay toolchain's compile helper dies when a kernel's TOTAL VMEM
+# footprint (scratches + mask window + live tile temporaries) exceeds
+# ~91-107 MB (bench_r2_tpu15.json: 1408^2 f32 at ~91 MB compiles, 1536^2
+# at ~107 MB does not, independent of allocation split and tile count).
+# The tile picker fits the temporaries into what this target leaves.
+_TOTAL_VMEM_TARGET = 90 * 1024 * 1024
+
+
+def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
+    """Tile height: ~22 live tile-planes of f32 temporaries, budgeted so
+    state + mask + temporaries stay under the toolchain's total-VMEM
+    ceiling (capped at ~24 MB of temporaries — bigger buys nothing).
 
     Unlike the ping-pong kernel's picker this does NOT require tile | ny —
-    the step loops handle a ragged last tile — because the kernel body
-    unrolls ntiles times per step form and the relay toolchain's compile
-    helper dies on large unrolls (1536^2 with 24 tiles crashed it; 8-16
-    tiles compile). Big tiles keep ntiles in the proven range.
+    the step loops handle a ragged last tile (large unrolled tile counts
+    are also compile hazards; big tiles keep ntiles in the proven range).
     """
     override = os.environ.get("LBM_AA_TILE")
     if override:
         return min(ny, int(override))
-    max_rows = max(8, (24 * 1024 * 1024) // (22 * nx * 4) // 8 * 8)
+    state = 9 * ny * nx * itemsize
+    mask = ny * nx * 4
+    budget = min(24 * 1024 * 1024, _TOTAL_VMEM_TARGET - state - mask)
+    max_rows = max(8, budget // (22 * nx * 4) // 8 * 8)
     return min(ny, max_rows)
 
 
@@ -263,7 +274,7 @@ def _make_aa_call(ny, nx, steps, w1a, w2a, omega, interpret, dtype_name,
                   paired=True, tile=None):
     dtype = jnp.dtype(dtype_name)
     if tile is None:
-        tile = _pick_tile(ny, nx)
+        tile = _pick_tile(ny, nx, dtype.itemsize)
     kern = functools.partial(
         _aa_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
@@ -324,7 +335,8 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
         paired = paired_default()
 
     state = stream_planes(cells)  # R -> S, once per run
-    tile = _pick_tile(ny, nx)  # resolved here so it keys the kernel cache
+    # Resolved here so it keys the kernel cache.
+    tile = _pick_tile(ny, nx, jnp.dtype(cells.dtype).itemsize)
     n_full = n_iters // _CHUNK_STEPS
     rem = n_iters - n_full * _CHUNK_STEPS
     tot_u = jnp.zeros((n_iters,), jnp.float32)

@@ -83,11 +83,13 @@ def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
     return False if (fits and on_tpu) else None
 
 
-# Auto-dispatch ceiling for the AA kernel on this relay toolchain: 1280^2
-# f32 (59 MB state) compiles and runs; 73 MB states crash the compile
-# helper at any tile count/scratch split (bench_r2_tpu7/8.json). Explicit
+# Auto-dispatch ceiling for the AA kernel on this relay toolchain: the
+# compile helper caps the TOTAL kernel VMEM footprint at ~91-107 MB
+# (bench_r2_tpu15.json), and the tile picker budgets temporaries to fit —
+# 1408^2 f32 (71.3 MB state, ~91 MB total) compiles and runs; 1536^2
+# (85 MB state, 94+ MB even with minimal temporaries) cannot. Explicit
 # --backend aa may still try larger states (standard toolchains take them).
-_AA_AUTO_MAX_STATE = 60 * 1024 * 1024
+_AA_AUTO_MAX_STATE = 72 * 1024 * 1024
 # bf16 compiles are more fragile still: 1024^2 bf16 (19 MB) compiles and
 # beats the block kernel +53-64% (bench_r2_tpu9.json), but 1280^2 bf16
 # (29.5 MB) crashes the helper even though the same shape compiles at f32

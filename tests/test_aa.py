@@ -93,7 +93,9 @@ def test_aa_multi_tile(iters, tile, monkeypatch):
     step's cross-tile in-place reads/writes — including the periodic wrap
     rows and the short last tile — are exercised; per-(row, slot) ownership
     must make any tile order safe."""
-    monkeypatch.setattr(pallas_aa, "_pick_tile", lambda ny, nx: tile)
+    monkeypatch.setattr(
+        pallas_aa, "_pick_tile", lambda ny, nx, itemsize=4: tile
+    )
     params = dataclasses.replace(PARAMS, ny=24)
     state, obstacles = make_setup(params, seed=7)
     nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
