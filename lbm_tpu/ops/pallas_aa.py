@@ -114,12 +114,11 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
     return min(ny, max_rows)
 
 
-# The state scratch is SPLIT into one VMEM allocation PER PLANE: the
-# relay toolchain's compile helper dies on kernels with large VMEM
-# allocations (an 85 MB whole-state scratch and 47 MB half-splits crashed
-# it at every tile count; ~33 MB allocations compile), and per-plane
-# scratches keep the largest allocation at 1/9 of the state with no
-# change to the access pattern.
+# The state scratch is one VMEM allocation PER PLANE. (Probing the relay
+# compile-helper crashes went through whole-state, half-split, and
+# per-plane variants before isolating TOTAL footprint — see
+# _TOTAL_VMEM_TARGET — as the binding limit; per-plane is kept: it is the
+# most granular, costs nothing, and the access pattern is unchanged.)
 
 
 def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
@@ -314,11 +313,14 @@ def stream_planes(cells, sign: int = 1):
 
 
 def run_aa(cells, nobst, density, accel, omega, n_iters, *,
-           interpret=False, paired=None):
+           interpret=False, paired=None, tile=None):
     """Run ``n_iters`` steps with the in-place AA-resident kernel.
 
     Same contract as ``pallas_resident.run_resident``: returns
     ``(final_cells, tot_u_series)`` with the UN-normalized per-step sums.
+    ``tile`` overrides the row-tile height (None → ``_pick_tile``, which
+    reads ``LBM_AA_TILE``); jitted callers must resolve it outside the
+    trace (see driver._run_aa).
     """
     _, ny, nx = cells.shape
     if not aa_supported(ny, nx, cells.dtype):
@@ -335,8 +337,8 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
         paired = paired_default()
 
     state = stream_planes(cells)  # R -> S, once per run
-    # Resolved here so it keys the kernel cache.
-    tile = _pick_tile(ny, nx, jnp.dtype(cells.dtype).itemsize)
+    if tile is None:
+        tile = _pick_tile(ny, nx, jnp.dtype(cells.dtype).itemsize)
     n_full = n_iters // _CHUNK_STEPS
     rem = n_iters - n_full * _CHUNK_STEPS
     tot_u = jnp.zeros((n_iters,), jnp.float32)

@@ -386,7 +386,7 @@ def _prepare_obstacles(obstacles, dtype):
 
 
 def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
-                owner=None, paired=None):
+                owner=None, paired=None, block=None):
     """One fused timestep on the ``(cells, halo_dn, halo_up)`` carry.
 
     The halo pair always equals the boundary rows of ``cells`` — maintained
@@ -396,7 +396,8 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
     """
     cells, halo_dn, halo_up = state
     _, ny, nx = cells.shape
-    block = _pick_block(ny, nx, cells.dtype)
+    if block is None:
+        block = _pick_block(ny, nx, cells.dtype)
     if block is None:
         raise ValueError(f"grid {ny}x{nx} unsupported by the pallas kernel")
     call = _make_pallas_call(
@@ -414,10 +415,11 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
     return (new_cells, new_dn, new_up), jnp.sum(partials)
 
 
-def _init_state(cells):
+def _init_state(cells, block=None):
     if cells.dtype not in (jnp.float32, jnp.bfloat16):
         cells = cells.astype(jnp.float32)
-    block = _pick_block(cells.shape[1], cells.shape[2], cells.dtype)
+    if block is None:
+        block = _pick_block(cells.shape[1], cells.shape[2], cells.dtype)
     halo_dn, halo_up = make_halos(cells, block)
     return cells, halo_dn, halo_up
 
@@ -426,17 +428,24 @@ def _extract_cells(state):
     return state[0]
 
 
-def lbm_step_pallas(state, nobst, density, accel, omega, paired=None):
+def lbm_step_pallas(state, nobst, density, accel, omega, paired=None,
+                    block=None):
     """Fused-kernel step (TPU). Accepts either the ``(cells, halo_dn,
     halo_up)`` carry (the fast path the driver uses via ``init_state``) or a
     bare ``(9, ny, nx)`` cells array (convenience/oracle form — halos built
     on the fly). Returns the same structure it was given plus ``tot_u``.
-    ``paired`` picks the collision form (None → env default); jitted callers
-    must thread it as a static arg (see driver._run_loop)."""
+    ``paired`` picks the collision form and ``block`` the row-block height
+    (None → env defaults); jitted callers must thread both as static args
+    (see driver._run_loop: env reads under a trace are frozen by whichever
+    call traced first)."""
     if isinstance(state, (tuple, list)):
-        return _step_carry(tuple(state), nobst, density, accel, omega, paired=paired)
+        return _step_carry(
+            tuple(state), nobst, density, accel, omega, paired=paired,
+            block=block,
+        )
     new_state, tot_u = _step_carry(
-        _init_state(state), nobst, density, accel, omega, paired=paired
+        _init_state(state, block), nobst, density, accel, omega,
+        paired=paired, block=block,
     )
     return new_state[0], tot_u
 
@@ -445,18 +454,21 @@ lbm_step_pallas.prepare = _prepare_obstacles
 lbm_step_pallas.init_state = _init_state
 lbm_step_pallas.extract = _extract_cells
 lbm_step_pallas.takes_paired = True
+lbm_step_pallas.takes_block = True
+lbm_step_pallas.pick_block = _pick_block
 
 
-def lbm_step_pallas_interpret(state, nobst, density, accel, omega, paired=None):
+def lbm_step_pallas_interpret(state, nobst, density, accel, omega,
+                              paired=None, block=None):
     """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
     if isinstance(state, (tuple, list)):
         return _step_carry(
             tuple(state), nobst, density, accel, omega, interpret=True,
-            paired=paired,
+            paired=paired, block=block,
         )
     new_state, tot_u = _step_carry(
-        _init_state(state), nobst, density, accel, omega, interpret=True,
-        paired=paired,
+        _init_state(state, block), nobst, density, accel, omega,
+        interpret=True, paired=paired, block=block,
     )
     return new_state[0], tot_u
 
@@ -465,3 +477,5 @@ lbm_step_pallas_interpret.prepare = _prepare_obstacles
 lbm_step_pallas_interpret.init_state = _init_state
 lbm_step_pallas_interpret.extract = _extract_cells
 lbm_step_pallas_interpret.takes_paired = True
+lbm_step_pallas_interpret.takes_block = True
+lbm_step_pallas_interpret.pick_block = _pick_block

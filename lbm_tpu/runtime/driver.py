@@ -247,19 +247,22 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "density", "accel", "omega", "step_fn", "paired"),
+    static_argnames=("n_iters", "density", "accel", "omega", "step_fn",
+                     "paired", "block"),
     donate_argnums=(0,),
 )
 def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-              step_fn, paired=True):
-    # Env-style knobs (here the LBM_COLLIDE form) must arrive as STATIC jit
-    # args: jit.lower() serves cached traces for repeated identical
-    # signatures, so anything read from the environment under the trace is
-    # frozen by whichever call traced first.
+              step_fn, paired=True, block=None):
+    # Env-style knobs (the LBM_COLLIDE form, the LBM_PALLAS_BLOCK height)
+    # must arrive as STATIC jit args: jit.lower() serves cached traces for
+    # repeated identical signatures, so anything read from the environment
+    # under the trace is frozen by whichever call traced first.
     if getattr(step_fn, "takes_paired", False):
         call_step = functools.partial(step_fn, paired=paired)
     else:
         call_step = step_fn
+    if getattr(step_fn, "takes_block", False):
+        call_step = functools.partial(call_step, block=block)
     # The mean-velocity series stays f32 even under bf16 storage.
     av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
     av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
@@ -269,7 +272,14 @@ def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     prepare = getattr(step_fn, "prepare", None)
     obstacles = prepare(obstacles, cells.dtype) if prepare is not None else obstacles
     init_state = getattr(step_fn, "init_state", None)
-    state = init_state(cells) if init_state is not None else cells
+    if init_state is None:
+        state = cells
+    elif getattr(step_fn, "takes_block", False):
+        # The carry's halo shapes depend on the block height — it must be
+        # the same threaded value the step uses, not a fresh env read.
+        state = init_state(cells, block)
+    else:
+        state = init_state(cells)
 
     def body(tt, carry):
         state, av_vels = carry
@@ -302,11 +312,14 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "density", "accel", "omega", "interpret", "paired"),
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "paired", "tile"),
     donate_argnums=(0,),
 )
 def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-            interpret, paired=True):
+            interpret, paired=True, tile=None):
+    # tile is resolved by the caller OUTSIDE jit (the LBM_AA_TILE override
+    # must key the jit cache, not be read under a trace).
     from lbm_tpu.ops.pallas_aa import run_aa
 
     if cells.dtype not in (jnp.float32, jnp.bfloat16):
@@ -314,7 +327,7 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     nobst = (obstacles == 0).astype(jnp.float32)
     cells, tot_u = run_aa(
         cells, nobst, density, accel, omega, n_iters,
-        interpret=interpret, paired=paired,
+        interpret=interpret, paired=paired, tile=tile,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -430,9 +443,14 @@ def run_simulation(
                 interpret=resident_interpret, **common,
             )
         if aa_interpret is not None:
+            from lbm_tpu.ops.pallas_aa import _pick_tile
+
+            a_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
             return _run_aa.lower(
                 cells, obstacles_dev, inv_tot_cells,
-                interpret=aa_interpret, **common,
+                interpret=aa_interpret,
+                tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
+                **common,
             )
         if temporal_interpret is not None:
             from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
@@ -445,8 +463,14 @@ def run_simulation(
                 block=pick_block(params.ny, params.nx, t_depth, t_dtype),
                 depth=t_depth, **common,
             )
+        step_kw = {}
+        if getattr(step_fn, "takes_block", False):
+            # LBM_PALLAS_BLOCK resolved OUTSIDE jit, like the collide form.
+            s_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+            step_kw["block"] = step_fn.pick_block(params.ny, params.nx, s_dtype)
         return _run_loop.lower(
-            cells, obstacles_dev, inv_tot_cells, step_fn=step_fn, **common
+            cells, obstacles_dev, inv_tot_cells, step_fn=step_fn,
+            **step_kw, **common,
         )
 
     remaining = params.max_iters - start_step

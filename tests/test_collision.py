@@ -99,6 +99,29 @@ def test_knob_reaches_kernel_build(monkeypatch):
     np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-8)
 
 
+def test_pallas_block_knob_rekeys_driver_jit_cache(monkeypatch):
+    """Toggling LBM_PALLAS_BLOCK between two otherwise-identical
+    run_simulation calls must build different kernels (same env-under-jit
+    hazard as LBM_COLLIDE: the block height now travels as a static arg).
+    Observable: the kernel-builder cache grows by one entry per block."""
+    from lbm_tpu.ops import pallas_step
+
+    params = LBMParams(
+        nx=128, ny=48, max_iters=2, reynolds_dim=10, density=0.1,
+        accel=0.005, omega=1.85,
+    )
+    obstacles = np.zeros((48, 128), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    sizes = []
+    for blk in ("8", "16"):
+        monkeypatch.setenv("LBM_PALLAS_BLOCK", blk)
+        run_simulation(params, obstacles, backend="pallas")
+        sizes.append(pallas_step._make_pallas_call.cache_info().currsize)
+    assert sizes[1] == sizes[0] + 1, (
+        "second block size reused the first trace's frozen kernel"
+    )
+
+
 @pytest.mark.parametrize("backend", ["pallas", "resident", "temporal"])
 def test_knob_rekeys_driver_jit_cache(backend, monkeypatch):
     """Toggling LBM_COLLIDE between two otherwise-identical run_simulation
