@@ -110,6 +110,12 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
     state = 9 * ny * nx * itemsize
     mask = ny * nx * 4
     budget = min(24 * 1024 * 1024, _TOTAL_VMEM_TARGET - state - mask)
+    if budget < 4 * 1024 * 1024:
+        # State already beyond this toolchain's compile ceiling (reachable
+        # only via forced --backend aa, e.g. on a standard libtpu build
+        # with the full 128 MB VMEM): don't degenerate to tiny tiles and a
+        # huge unroll — use the perf-optimal temporaries budget.
+        budget = 24 * 1024 * 1024
     max_rows = max(8, budget // (22 * nx * 4) // 8 * 8)
     return min(ny, max_rows)
 

@@ -52,6 +52,16 @@ def test_aa_supported():
     assert not aa_supported(512, 512, jnp.float64)
 
 
+def test_aa_tile_picker_budgets():
+    """Tile heights: plain ~24 MB temporaries when VMEM is plentiful,
+    budgeted down near the relay compile ceiling, and falling BACK to the
+    perf tile (not tile=8 / huge unrolls) beyond the ceiling where only a
+    forced --backend aa on a standard toolchain can go."""
+    assert pallas_aa._pick_tile(1024, 1024) == 272  # plentiful
+    assert pallas_aa._pick_tile(1408, 1408) == 120  # budgeted under ceiling
+    assert pallas_aa._pick_tile(1536, 1536) == 184  # beyond ceiling: perf tile
+
+
 @pytest.mark.parametrize("iters", [1, 2, 5])
 def test_aa_matches_oracle(iters):
     """Odd totals exit via the C-arrangement plane permutation, even totals
