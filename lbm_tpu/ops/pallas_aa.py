@@ -106,7 +106,15 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
     """
     override = os.environ.get("LBM_AA_TILE")
     if override:
-        return min(ny, int(override))
+        t = int(override)
+        if t < 8 or t % 8 != 0:
+            # The kernel's in-place-safety argument needs sublane-aligned
+            # tiles ("h is still a multiple of 8 since ny and tile are");
+            # fail clearly rather than with a Mosaic error (ADVICE r2).
+            raise ValueError(
+                f"LBM_AA_TILE={override}: tile must be a multiple of 8 and >= 8"
+            )
+        return min(ny, t)
     state = 9 * ny * nx * itemsize
     mask = ny * nx * 4
     budget = min(24 * 1024 * 1024, _TOTAL_VMEM_TARGET - state - mask)

@@ -196,7 +196,7 @@ def _make_call_overlap(ny, nx, block, w1a, w2a, omega, interpret, paired=True):
 
 
 def step_overlap(state, nobst, density, accel, omega, neighbors, owner,
-                 *, interpret=False):
+                 *, interpret=False, paired=None):
     """One fused timestep with in-kernel RDMA halo exchange.
 
     ``state`` = (cells, halo_dn, halo_up) with ALL-LOCAL halo slots;
@@ -216,7 +216,7 @@ def step_overlap(state, nobst, density, accel, omega, neighbors, owner,
         float(density * accel / 36.0),
         float(omega),
         bool(interpret),
-        paired=paired_default(),
+        paired=paired_default() if paired is None else paired,
     )
     new_cells, new_dn, new_up, partials = call(
         cells, halo_dn, halo_up, nobst, owner, neighbors

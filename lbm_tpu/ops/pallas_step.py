@@ -335,7 +335,7 @@ def _make_pallas_call_2d(ny, nx, block, w1a, w2a, omega, interpret,
 
 
 def _step_carry_2d(state, nobst, density, accel, omega, *, interpret=False,
-                   owner=None):
+                   owner=None, paired=None):
     """One fused timestep on a 2-D-mesh shard: the carry is
     ``(cells, halo_dn, halo_up, colfixL, colfixR)`` where the colfix arrays
     are the pre-aligned x-neighbor edge columns (see the sharding layer).
@@ -356,7 +356,7 @@ def _step_carry_2d(state, nobst, density, accel, omega, *, interpret=False,
         float(omega),
         bool(interpret),
         dtype_name=cells.dtype.name,
-        paired=paired_default(),
+        paired=paired_default() if paired is None else paired,
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)

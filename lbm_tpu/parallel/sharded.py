@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.models.d2q9 import D2Q9, LBMParams
+from lbm_tpu.ops.collision import paired_default
 from lbm_tpu.ops.reference import collide
 
 AXIS = "y"
@@ -304,7 +305,7 @@ def _exchange_and_align_cols(colL, colR, dn, up, nblk):
     return colfixL, colfixR
 
 
-def make_sharded_pallas_step_2d(interpret: bool = False):
+def make_sharded_pallas_step_2d(interpret: bool = False, paired: bool | None = None):
     """The fused Pallas kernel as the per-shard step on a 2-D (y, x) mesh.
 
     The kernel runs with ``col_fix=True``: its lane-roll x-wrap is patched in
@@ -316,8 +317,15 @@ def make_sharded_pallas_step_2d(interpret: bool = False):
     The carry is ``(cells, halo_dn, halo_up, colfixL, colfixR)``; exposes an
     extended ``init_state(cells, nobst, density, accel)`` used by
     ``build_sharded_loop_2d`` (the forcing pre-fix on outgoing columns needs
-    the physics constants)."""
+    the physics constants).
+
+    ``paired`` picks the collision form; it is resolved HERE (factory call,
+    outside any trace) so the ``LBM_COLLIDE`` env read keys nothing inside
+    jit (ADVICE r2: an env read under the trace is frozen by whichever call
+    traced first)."""
     from lbm_tpu.ops import pallas_step as PS
+
+    paired = paired_default() if paired is None else paired
 
     def owner_row():
         py = jax.lax.axis_size(AXIS)
@@ -326,7 +334,8 @@ def make_sharded_pallas_step_2d(interpret: bool = False):
     def step(state, nobst, density, accel, omega):
         owner = owner_row().reshape(1, 1)
         (cells, dn, up, colL_out, colR_out), tot_local = PS._step_carry_2d(
-            state, nobst, density, accel, omega, interpret=interpret, owner=owner
+            state, nobst, density, accel, omega, interpret=interpret, owner=owner,
+            paired=paired,
         )
         dn, up = _exchange_boundary_slots(dn, up)
         colL_out, colR_out = _force_edge_cols(
@@ -411,12 +420,15 @@ def build_sharded_loop_2d(mesh: Mesh, params: LBMParams, step_fn=None):
         return cells.astype(av_vels.dtype), av_vels
 
     shard = P(None, AXIS, AXIS_X)
+    # vma checking stays on for the jnp per-shard step; only the pallas_call
+    # step (whose out_shapes carry no vma annotations) opts out (VERDICT r2
+    # item 7).
     mapped = jax.shard_map(
         local_loop,
         mesh=mesh,
         in_specs=(shard, P(AXIS, AXIS_X), P()),
         out_specs=(shard, P()),
-        check_vma=False,
+        check_vma=step_fn is None,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -488,7 +500,7 @@ def run_simulation_sharded_2d(
     )
 
 
-def make_sharded_pallas_step(interpret: bool = False):
+def make_sharded_pallas_step(interpret: bool = False, paired: bool | None = None):
     """The fused Pallas kernel as the per-shard step (runs inside shard_map).
 
     Each shard runs the kernel on its local row block; the kernel maintains
@@ -497,24 +509,35 @@ def make_sharded_pallas_step(interpret: bool = False):
     3 rows in each direction per step, riding ICI. The forcing row is gated
     by an owner scalar so only the shard holding global row ny-2 applies it.
 
+    Storage follows the carry's dtype (f32 or bf16 — bf16 rounds between
+    steps exactly like the single-device block kernel; arithmetic is f32
+    in-kernel either way). ``paired`` is resolved at factory time so the
+    ``LBM_COLLIDE`` env read never happens under a trace (ADVICE r2).
+
     The returned function carries ``(cells_local, halo_dn, halo_up)`` and
     exposes the driver's init_state/extract/prepare protocol.
     """
     from lbm_tpu.ops import pallas_step as PS
+
+    paired = paired_default() if paired is None else paired
 
     def step(state, nobst, density, accel, omega):
         n = jax.lax.axis_size(AXIS)
         idx = jax.lax.axis_index(AXIS)
         owner = (idx == n - 1).astype(jnp.float32).reshape(1, 1)
         (cells, dn, up), tot_local = PS._step_carry(
-            state, nobst, density, accel, omega, interpret=interpret, owner=owner
+            state, nobst, density, accel, omega, interpret=interpret, owner=owner,
+            paired=paired,
         )
         dn, up = _exchange_boundary_slots(dn, up)
         return (cells, dn, up), jax.lax.psum(tot_local, AXIS)
 
     def init_state(cells_local):
-        cells_local = cells_local.astype(jnp.float32)
-        block = PS._pick_block(cells_local.shape[1], cells_local.shape[2])
+        if cells_local.dtype not in (jnp.float32, jnp.bfloat16):
+            cells_local = cells_local.astype(jnp.float32)
+        block = PS._pick_block(
+            cells_local.shape[1], cells_local.shape[2], cells_local.dtype
+        )
         if block is None:
             raise ValueError(
                 f"local grid {cells_local.shape[1]}x{cells_local.shape[2]} "
@@ -530,13 +553,17 @@ def make_sharded_pallas_step(interpret: bool = False):
     return step
 
 
-def make_sharded_pallas_step_overlap(interpret: bool = False):
+def make_sharded_pallas_step_overlap(interpret: bool = False,
+                                     paired: bool | None = None):
     """Opt-in variant of ``make_sharded_pallas_step``: the cross-shard halo
     exchange happens INSIDE the kernel via async remote copies, overlapping
     the 3-row sends with interior-block compute (see ops/pallas_remote.py).
-    The carried halo arrays stay all-local (no ppermute pre-exchange)."""
+    The carried halo arrays stay all-local (no ppermute pre-exchange).
+    ``paired`` resolves at factory time (never under a trace — ADVICE r2)."""
     from lbm_tpu.ops import pallas_step as PS
     from lbm_tpu.ops.pallas_remote import step_overlap
+
+    paired = paired_default() if paired is None else paired
 
     def step(state, nobst, density, accel, omega):
         n = jax.lax.axis_size(AXIS)
@@ -547,7 +574,7 @@ def make_sharded_pallas_step_overlap(interpret: bool = False):
         )
         state, tot_local = step_overlap(
             state, nobst, density, accel, omega, neighbors, owner,
-            interpret=interpret,
+            interpret=interpret, paired=paired,
         )
         return state, jax.lax.psum(tot_local, AXIS)
 
@@ -599,6 +626,7 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     omega = float(params.omega)
     n_iters = params.max_iters if n_iters is None else n_iters
 
+    step_fn_is_jnp = step_fn is None
     if step_fn is None:
         def step_fn(cells, obstacles, d, a, o):  # noqa: ANN001
             return lbm_step_sharded(cells, obstacles, d, a, o, ny_global)
@@ -608,7 +636,11 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     extract = getattr(step_fn, "extract", None)
 
     def local_loop(cells, obstacles, inv_tot_cells):
-        av_vels = jnp.zeros((n_iters,), dtype=cells.dtype)
+        # The mean-velocity series stays f32 under bf16 storage, matching
+        # the single-device driver (driver._run_loop) — VERDICT r2 item 5.
+        av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+        store_dtype = cells.dtype
+        av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
         obstacles_prep = (
             prepare(obstacles, cells.dtype) if prepare is not None else obstacles
         )
@@ -617,22 +649,26 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
         def body(tt, carry):
             state, av_vels = carry
             state, tot_u = step_fn(state, obstacles_prep, density, accel, omega)
-            av_vels = av_vels.at[tt].set(tot_u * inv_tot_cells)
+            av_vels = av_vels.at[tt].set(
+                (tot_u * inv_tot_cells).astype(av_dtype)
+            )
             return state, av_vels
 
         state, av_vels = jax.lax.fori_loop(0, n_iters, body, (state, av_vels))
         cells = extract(state) if extract is not None else state
-        return cells.astype(av_vels.dtype), av_vels
+        return cells.astype(store_dtype), av_vels
 
     shard = P(None, AXIS, None)
+    # The jnp per-shard step verifies under XLA's varying-mesh-axis checking;
+    # pallas_call out_shapes carry no vma annotations, so the fused-kernel
+    # step keeps the opt-out (its cross-shard correctness is pinned by
+    # tests/test_sharded.py instead) — VERDICT r2 item 7.
     mapped = jax.shard_map(
         local_loop,
         mesh=mesh,
         in_specs=(shard, P(AXIS, None), P()),
         out_specs=(shard, P()),
-        # pallas_call out_shapes carry no varying-mesh-axis annotations;
-        # correctness across shards is covered by tests instead.
-        check_vma=False,
+        check_vma=step_fn_is_jnp,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -661,11 +697,26 @@ def run_simulation_sharded(
 
     step_fn = None
     if backend in ("auto", "pallas", "pallas-overlap"):
-        from lbm_tpu.ops.pallas_step import pallas_supported
+        from lbm_tpu.ops.pallas_step import _pick_block
 
-        fits = pallas_supported(params.ny // n, params.nx)
+        # dtype-aware: bf16 runs the fused kernel with bf16 storage (f32
+        # arithmetic), matching the single-device block kernel; f64 routes
+        # to the jnp step (never a silent downgrade) — VERDICT r2 item 5.
+        kernel_dtype = (
+            jnp.dtype(dtype)
+            if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+            else None
+        )
+        fits = kernel_dtype is not None and (
+            _pick_block(params.ny // n, params.nx, kernel_dtype) is not None
+        )
         on_tpu = mesh.devices.flat[0].platform == "tpu"
         if backend in ("pallas", "pallas-overlap"):
+            if kernel_dtype is None:
+                raise ValueError(
+                    f"sharded {backend} backend stores f32/bf16 only; use "
+                    "--precision f32/bf16 or the jnp step for f64"
+                )
             if not fits:
                 raise ValueError(
                     f"local grid {params.ny // n}x{params.nx} does not fit the "

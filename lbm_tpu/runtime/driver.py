@@ -103,9 +103,13 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
 
     Returns None (don't) or the ``interpret`` flag. The AA kernel keeps ONE
     copy of the state in VMEM (vs the ping-pong kernel's two). Measured
-    policy for ``auto`` on TPU (bench_r2_tpu8/9.json):
+    policy for ``auto`` on TPU (bench_r2_tpu8/9/15.json): f32 states up to
+    ``_AA_AUTO_MAX_STATE`` (72 MB — 1408^2, the largest relay-toolchain-
+    validated compile) run AA; the ping-pong resident kernel is
+    explicit-only (``--backend resident``); temporal takes over beyond the
+    AA ceiling. Evidence:
 
-    - f32 <= 60 MB: AA everywhere — 1.4x in the value-carry regime
+    - f32 <= 72 MB: AA everywhere — 1.4x in the value-carry regime
       (256^2: 23.9k vs 17.1k MLUPS same-session), +12-17% at 512^2
       (26.0k vs 23.1k), +3% at 1024^2 full-official (24,866 vs 24,194;
       AA won 6 of 7 same-session brackets across sessions 6/8/11), and
@@ -148,6 +152,12 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
 # (1.2 GB state). The crossover sits somewhere in between (4096^2 bf16
 # unmeasured); 1 GB routes only the proven-win sizes to temporal.
 _TEMPORAL_BF16_MIN_STATE = 1024 * 1024 * 1024
+# ... and only up to the probed width: 8192-wide temporal compiles are
+# validated at T4/T6 on this toolchain but fail or hang at other depths,
+# and nothing wider was ever probed — wider bf16 grids stay on the block
+# kernel (the most compile-robust schedule) rather than risk an unprobed
+# temporal compile (ADVICE r2: auto caps stay at validated sizes).
+_TEMPORAL_BF16_MAX_NX = 8192
 
 
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -184,7 +194,12 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     # (9,277 vs 8,310) — so bf16 selects temporal only for >=1 GB states.
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
     if dtype == jnp.bfloat16:
-        if fits and on_tpu and state_bytes >= _TEMPORAL_BF16_MIN_STATE:
+        if (
+            fits
+            and on_tpu
+            and state_bytes >= _TEMPORAL_BF16_MIN_STATE
+            and params.nx <= _TEMPORAL_BF16_MAX_NX
+        ):
             return False
         return None
     if fits and on_tpu and not resident_supported(

@@ -172,3 +172,18 @@ def test_aa_bf16_smoke():
     assert cells.dtype == jnp.bfloat16
     assert np.abs(np.asarray(cells, np.float64) - want).max() < 0.03 * scale
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=0.03)
+
+
+def test_aa_tile_override_validated(monkeypatch):
+    """LBM_AA_TILE must be sublane-aligned (>= 8, multiple of 8): a bad value
+    raises a clear error instead of a Mosaic failure (ADVICE r2)."""
+    from lbm_tpu.ops.pallas_aa import _pick_tile
+
+    monkeypatch.setenv("LBM_AA_TILE", "12")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _pick_tile(64, 128, 4)
+    monkeypatch.setenv("LBM_AA_TILE", "4")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _pick_tile(64, 128, 4)
+    monkeypatch.setenv("LBM_AA_TILE", "16")
+    assert _pick_tile(64, 128, 4) == 16

@@ -40,3 +40,31 @@ def test_simulation_mesh_variants(small_params, small_obstacles):
 def test_simulation_shape_mismatch(small_params):
     with pytest.raises(ValueError):
         Simulation(small_params, box(8, 8))
+
+
+def test_simulation_2d_mesh_threads_backend(small_params, small_obstacles, monkeypatch):
+    """The 2-D-mesh branch must pass ``backend`` through (VERDICT r2 item 4:
+    it was silently dropped)."""
+    import lbm_tpu.parallel.sharded as sharded_mod
+
+    seen = {}
+    real = sharded_mod.run_simulation_sharded_2d
+
+    def spy(params, obstacles, *, mesh_shape, backend="auto", dtype=None):
+        seen["backend"] = backend
+        return real(
+            params, obstacles, mesh_shape=mesh_shape, backend=backend,
+            dtype=dtype,
+        )
+
+    monkeypatch.setattr(sharded_mod, "run_simulation_sharded_2d", spy)
+    sim = Simulation(small_params, small_obstacles)
+    result = sim.run(mesh=(2, 2), backend="reference")
+    assert seen["backend"] == "reference"
+    assert result.av_vels.shape == (small_params.max_iters,)
+
+
+def test_simulation_2d_mesh_rejects_unsupported_kwargs(small_params, small_obstacles):
+    sim = Simulation(small_params, small_obstacles)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        sim.run(mesh=(2, 2), checkpoint_every=10)

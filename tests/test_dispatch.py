@@ -1,13 +1,14 @@
 """Auto-dispatch policy (driver.select_*): which kernel serves which regime.
 
 The policy constants come from the round-2 measured A/Bs (BENCHMARKS.md,
-bench_r2_tpu8.json): AA takes the value-carry regime (<= 4 MB states,
-1.4x) and the 40-60 MB single-copy gap (1.75x over temporal); ping-pong
-resident keeps 4-40 MB; temporal covers f32 beyond AA's auto ceiling;
-bf16 never auto-selects AA (no on-TPU compile evidence) or temporal
-(block wins, BENCHMARKS.md). These tests pin the policy on a fake TPU
-platform so a dispatch change must be deliberate.
-"""
+bench_r2_tpu8/9/11/15.json): AA takes ALL f32 states <= 72 MB (it won the
+value-carry regime 1.4x, 512^2-1024^2 by 3-17%, and the 40-72 MB
+single-copy gap 1.75x over temporal) and bf16 states <= 20 MB (the
+validated bf16 compile ceiling); the ping-pong resident kernel is
+explicit-only (``--backend resident``); temporal covers f32 beyond AA's
+auto ceiling and bf16 >= 1 GB (block wins the bf16 middle). These tests
+pin the policy on a fake TPU platform so a dispatch change must be
+deliberate."""
 
 import dataclasses
 
@@ -82,3 +83,11 @@ def test_forced_aa_off_tpu_interprets():
 def test_forced_aa_rejects_f64():
     with pytest.raises(ValueError, match="f32/bf16"):
         driver.select_aa(p(256, 256), "aa", jnp.float64)
+
+
+def test_auto_bf16_temporal_capped_at_probed_width(on_tpu):
+    # Only 8192-wide temporal compiles are validated on this toolchain
+    # (T4/T6; other depths fail or hang) — wider bf16 grids stay on the
+    # block kernel (ADVICE r2: auto caps stay at validated sizes).
+    assert driver.select_temporal(p(8192, 16384), "auto", jnp.bfloat16) is None
+    assert driver.select_temporal(p(16384, 8192), "auto", jnp.bfloat16) is False

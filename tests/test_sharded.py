@@ -255,3 +255,85 @@ def test_sharded_overlap_rdma_matches_jnp(n_devices):
                                      backend="pallas-overlap")
     np.testing.assert_allclose(ovl_res.cells, jnp_res.cells, atol=2e-7)
     np.testing.assert_allclose(ovl_res.av_vels, jnp_res.av_vels, rtol=1e-5)
+
+
+def test_sharded_bf16_av_series_is_f32(small_params, small_obstacles):
+    """Under bf16 storage the av_vels series accumulates at f32, matching the
+    single-device driver's policy (VERDICT r2 item 5)."""
+    res = run_simulation_sharded(
+        small_params, small_obstacles, n_devices=4, backend="reference",
+        dtype=jnp.bfloat16,
+    )
+    assert res.av_vels.dtype == np.float32
+    assert res.cells.dtype == jnp.bfloat16
+
+
+def test_sharded_pallas_bf16_matches_single_device(small_params):
+    """Sharded bf16 through the fused kernel = single-device bf16 block
+    kernel semantics: bf16 storage rounding each step, f32 arithmetic,
+    f32 av series (VERDICT r2 item 5 — previously a silent f32 upcast)."""
+    import dataclasses
+
+    from lbm_tpu.runtime.driver import run_simulation
+
+    p = dataclasses.replace(small_params, nx=128, ny=64, max_iters=3)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[9, 100] = 1
+    single = run_simulation(p, obs, backend="pallas", dtype=jnp.bfloat16)
+    sharded = run_simulation_sharded(
+        p, obs, n_devices=2, backend="pallas", dtype=jnp.bfloat16
+    )
+    assert sharded.cells.dtype == jnp.bfloat16
+    assert sharded.av_vels.dtype == np.float32
+    np.testing.assert_allclose(
+        sharded.cells.astype(np.float32), single.cells.astype(np.float32),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-4)
+
+
+def test_sharded_pallas_f64_rejected(small_params, small_obstacles):
+    """An explicit sharded pallas request at f64 errors instead of silently
+    downgrading to f32 (VERDICT r2 item 5)."""
+    with pytest.raises(ValueError, match="f32/bf16"):
+        run_simulation_sharded(
+            small_params, small_obstacles, n_devices=2, backend="pallas",
+            dtype=jnp.float64,
+        )
+
+
+def test_collide_form_threads_into_sharded_steps():
+    """The LBM_COLLIDE form is resolved at factory time, not under the trace
+    (ADVICE r2): both forms produce distinct step factories whose kernels
+    agree physically."""
+    from lbm_tpu.models.d2q9 import LBMParams
+    from lbm_tpu.parallel.sharded import make_sharded_pallas_step
+
+    p = LBMParams(
+        nx=128, ny=32, max_iters=2, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    from lbm_tpu.parallel.sharded import build_sharded_loop, make_mesh
+    from lbm_tpu.models.d2q9 import D2Q9
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(2)
+    results = []
+    for paired in (True, False):
+        step = make_sharded_pallas_step(interpret=True, paired=paired)
+        loop = build_sharded_loop(mesh, p, step_fn=step)
+        cells = jax.device_put(
+            D2Q9.initial_state(p, dtype=jnp.float32),
+            NamedSharding(mesh, P(None, "y", None)),
+        )
+        obs_dev = jax.device_put(
+            jnp.asarray(obs, dtype=jnp.int32), NamedSharding(mesh, P("y", None))
+        )
+        inv = jnp.asarray(1.0 / (obs == 0).sum(), jnp.float32)
+        out_cells, av = loop(cells, obs_dev, inv)
+        results.append(np.asarray(av))
+    # The two forms agree within f32 ulps but are separately compiled.
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
