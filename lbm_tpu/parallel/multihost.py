@@ -48,3 +48,79 @@ def initialize_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def run_simulation_multihost(params, obstacles, *, backend="auto", dtype=None):
+    """Run the sharded simulation across ALL global devices of an initialized
+    multi-process runtime (``initialize_multihost`` first).
+
+    Every process calls this with the SAME params/obstacles; the lattice is
+    row-sharded over the global 1-D mesh (``parallel.sharded``), each process
+    feeds only its addressable shards (``jax.make_array_from_callback``), the
+    per-step loop runs exactly as in the single-controller path (halo
+    ppermutes + psum compile to cross-process collectives), and the result is
+    gathered back so every process returns the identical full
+    ``SimulationResult``. Checkpoint/resume stays single-controller-only.
+
+    Validated end-to-end by tests/test_multihost.py's spawned 2-process CPU
+    run (the environment's stand-in for a multi-host pod slice —
+    SURVEY.md §2.4, distributed-communication-backend row).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbm_tpu.models.d2q9 import D2Q9
+    from lbm_tpu.parallel import sharded as S
+    from lbm_tpu.runtime.driver import SimulationResult
+
+    import time
+
+    dtype = jnp.float32 if dtype is None else dtype
+    mesh = S.make_mesh()  # all global devices on the row axis
+    n = mesh.devices.size
+    if params.ny % n != 0:
+        raise ValueError(f"ny={params.ny} not divisible by {n} global devices")
+
+    step_fn = S.pick_shard_step(
+        params, n, backend, dtype,
+        on_tpu=mesh.devices.flat[0].platform == "tpu",
+    )
+
+    host_cells = np.asarray(D2Q9.initial_state(params, dtype=dtype))
+    host_obst = np.asarray(obstacles, dtype=np.int32)
+    cells = jax.make_array_from_callback(
+        host_cells.shape,
+        NamedSharding(mesh, P(None, S.AXIS, None)),
+        lambda idx: host_cells[idx],
+    )
+    obstacles_dev = jax.make_array_from_callback(
+        host_obst.shape,
+        NamedSharding(mesh, P(S.AXIS, None)),
+        lambda idx: host_obst[idx],
+    )
+    tot_cells = int(np.sum(host_obst == 0))
+    inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
+
+    loop = S.build_sharded_loop(mesh, params, step_fn=step_fn)
+    t0 = time.perf_counter()
+    compiled = loop.lower(cells, obstacles_dev, inv_tot_cells).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cells, av_vels = compiled(cells, obstacles_dev, inv_tot_cells)
+    # av_vels is fully replicated — fetching it is the synchronization point
+    # (driver.sync can't device_get a non-addressable sharded array).
+    av_np = np.asarray(av_vels)
+    elapsed = time.perf_counter() - t0
+
+    cells_np = np.asarray(multihost_utils.process_allgather(cells, tiled=True))
+    return SimulationResult(
+        cells=cells_np,
+        av_vels=av_np,
+        elapsed=elapsed,
+        compile_time=compile_time,
+    )

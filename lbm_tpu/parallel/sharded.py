@@ -673,6 +673,48 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
+                    *, on_tpu: bool):
+    """Resolve the per-shard step for a 1-D row mesh (None = the jnp step).
+
+    dtype-aware: bf16 runs the fused kernel with bf16 storage (f32
+    arithmetic), matching the single-device block kernel; f64 routes to
+    the jnp step (never a silent downgrade) — VERDICT r2 item 5.
+    """
+    if backend not in ("auto", "pallas", "pallas-overlap"):
+        return None
+    from lbm_tpu.ops.pallas_step import _pick_block
+
+    kernel_dtype = (
+        jnp.dtype(dtype)
+        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        else None
+    )
+    fits = kernel_dtype is not None and (
+        _pick_block(params.ny // n_shards, params.nx, kernel_dtype) is not None
+    )
+    if backend in ("pallas", "pallas-overlap"):
+        if kernel_dtype is None:
+            raise ValueError(
+                f"sharded {backend} backend stores f32/bf16 only; use "
+                "--precision f32/bf16 or the jnp step for f64"
+            )
+        if not fits:
+            raise ValueError(
+                f"local grid {params.ny // n_shards}x{params.nx} does not fit "
+                "the pallas kernel's tiling constraints"
+            )
+        make = (
+            make_sharded_pallas_step_overlap
+            if backend == "pallas-overlap"
+            else make_sharded_pallas_step
+        )
+        return make(interpret=not on_tpu)
+    if on_tpu and fits:
+        return make_sharded_pallas_step()
+    return None
+
+
 def run_simulation_sharded(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -695,41 +737,8 @@ def run_simulation_sharded(
     if params.ny % n != 0:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
 
-    step_fn = None
-    if backend in ("auto", "pallas", "pallas-overlap"):
-        from lbm_tpu.ops.pallas_step import _pick_block
-
-        # dtype-aware: bf16 runs the fused kernel with bf16 storage (f32
-        # arithmetic), matching the single-device block kernel; f64 routes
-        # to the jnp step (never a silent downgrade) — VERDICT r2 item 5.
-        kernel_dtype = (
-            jnp.dtype(dtype)
-            if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
-            else None
-        )
-        fits = kernel_dtype is not None and (
-            _pick_block(params.ny // n, params.nx, kernel_dtype) is not None
-        )
-        on_tpu = mesh.devices.flat[0].platform == "tpu"
-        if backend in ("pallas", "pallas-overlap"):
-            if kernel_dtype is None:
-                raise ValueError(
-                    f"sharded {backend} backend stores f32/bf16 only; use "
-                    "--precision f32/bf16 or the jnp step for f64"
-                )
-            if not fits:
-                raise ValueError(
-                    f"local grid {params.ny // n}x{params.nx} does not fit the "
-                    "pallas kernel's tiling constraints"
-                )
-            make = (
-                make_sharded_pallas_step_overlap
-                if backend == "pallas-overlap"
-                else make_sharded_pallas_step
-            )
-            step_fn = make(interpret=not on_tpu)
-        elif on_tpu and fits:
-            step_fn = make_sharded_pallas_step()
+    step_fn = pick_shard_step(params, n, backend, dtype,
+                              on_tpu=mesh.devices.flat[0].platform == "tpu")
 
     cells_sharding = NamedSharding(mesh, P(None, AXIS, None))
     obst_sharding = NamedSharding(mesh, P(AXIS, None))
