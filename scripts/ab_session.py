@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Parameterized one-process TPU A/B bench session (VERDICT r2 item 8:
+replaces the per-session tpu_r2_session*.py scaffolding — new sessions add
+DATA files, not code files).
+
+TPU perf through the relay varies ±10-15% (occasionally 3x) BETWEEN
+processes, so alternatives must be compared WITHIN one process,
+interleaved (CLAUDE.md). This harness runs a list of variants in
+round-robin brackets (every variant once per bracket, warmup first),
+records per-bracket times and the best-of per variant, and writes one
+JSON file.
+
+Usage:
+    python scripts/ab_session.py OUT.json SPEC [SPEC...] \
+        [--passes-per-bracket 1] [--brackets 3] [--warmup 1]
+
+SPEC is ``tag:key=val[,key=val...]`` with keys:
+    size      square grid edge (or nx=/ny= separately)   [required]
+    iters     timestep count                              [required]
+    backend   auto|aa|resident|temporal|pallas|reference  [auto]
+    dtype     f32|bf16|f64                                [f32]
+    depth     temporal depth     (env LBM_TEMPORAL_DEPTH)
+    block     block height       (env LBM_TEMPORAL_BLOCK or
+                                  LBM_PALLAS_BLOCK, by backend)
+    tile      AA tile height     (env LBM_AA_TILE)
+    collide   paired|literal     (env LBM_COLLIDE)
+    geometry  walls|box|none                              [walls]
+
+Example (the round-2 temporal depth study, as one invocation):
+    python scripts/ab_session.py bench_r3_tpuN.json \
+        t2:size=8192,iters=100,backend=temporal,depth=2 \
+        t4:size=8192,iters=100,backend=temporal,depth=4 \
+        blk:size=8192,iters=100,backend=pallas,block=8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+_ENV_KEYS = (
+    "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
+    "LBM_AA_TILE", "LBM_COLLIDE",
+)
+
+
+def log(msg: str) -> None:
+    print(f"[ab {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def parse_spec(spec: str) -> dict:
+    tag, _, body = spec.partition(":")
+    if not body:
+        raise SystemExit(f"bad spec {spec!r}: expected tag:key=val,...")
+    kv = {}
+    for part in body.split(","):
+        k, _, v = part.partition("=")
+        if not v:
+            raise SystemExit(f"bad spec item {part!r} in {spec!r}")
+        kv[k] = v
+    out = {"tag": tag}
+    out["nx"] = int(kv.get("nx", kv.get("size", 0)))
+    out["ny"] = int(kv.get("ny", kv.get("size", 0)))
+    if not out["nx"] or not out["ny"]:
+        raise SystemExit(f"{spec!r}: size= (or nx=/ny=) is required")
+    if "iters" not in kv:
+        raise SystemExit(f"{spec!r}: iters= is required")
+    out["iters"] = int(kv["iters"])
+    out["backend"] = kv.get("backend", "auto")
+    out["dtype"] = kv.get("dtype", "f32")
+    out["geometry"] = kv.get("geometry", "walls")
+    for k in ("depth", "block", "tile"):
+        if k in kv:
+            out[k] = int(kv[k])
+    if "collide" in kv:
+        out["collide"] = kv["collide"]
+    return out
+
+
+def variant_env(v: dict) -> dict:
+    env = {}
+    if "depth" in v:
+        env["LBM_TEMPORAL_DEPTH"] = str(v["depth"])
+    if "block" in v:
+        knob = (
+            "LBM_PALLAS_BLOCK"
+            if v["backend"] in ("pallas", "auto", "reference")
+            else "LBM_TEMPORAL_BLOCK"
+        )
+        env[knob] = str(v["block"])
+    if "tile" in v:
+        env["LBM_AA_TILE"] = str(v["tile"])
+    if "collide" in v:
+        env["LBM_COLLIDE"] = v["collide"]
+    return env
+
+
+def make_case(v: dict):
+    import jax.numpy as jnp
+
+    from lbm_tpu.models.d2q9 import LBMParams
+
+    params = LBMParams(
+        nx=v["nx"], ny=v["ny"], max_iters=v["iters"], reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    obstacles = np.zeros((v["ny"], v["nx"]), dtype=np.int32)
+    if v["geometry"] in ("walls", "box"):
+        obstacles[0, :] = obstacles[-1, :] = 1
+    if v["geometry"] == "box":
+        obstacles[:, 0] = obstacles[:, -1] = 1
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[
+        v["dtype"]
+    ]
+    return params, obstacles, dtype
+
+
+def run_variant(v: dict):
+    """One timed run; returns (elapsed_s, mlups) or raises."""
+    from lbm_tpu.runtime.driver import run_simulation
+
+    params, obstacles, dtype = make_case(v)
+    saved = {k: os.environ.pop(k, None) for k in _ENV_KEYS}
+    try:
+        for k, val in variant_env(v).items():
+            os.environ[k] = val
+        res = run_simulation(params, obstacles, backend=v["backend"], dtype=dtype)
+    finally:
+        for k, old in saved.items():
+            os.environ.pop(k, None)
+            if old is not None:
+                os.environ[k] = old
+    mlups = v["nx"] * v["ny"] * v["iters"] / res.elapsed / 1e6
+    return res.elapsed, mlups
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("specs", nargs="+")
+    ap.add_argument("--brackets", type=int, default=3,
+                    help="round-robin passes over all variants")
+    ap.add_argument("--passes-per-bracket", type=int, default=1)
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="untimed runs per variant before bracket 1")
+    args = ap.parse_args()
+
+    variants = [parse_spec(s) for s in args.specs]
+    import jax
+
+    dev = jax.devices()[0]
+    results = {
+        "meta": {
+            "device": f"{dev.device_kind} ({dev.platform})",
+            "argv": sys.argv[1:],
+            "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+        },
+        "variants": {v["tag"]: dict(v) for v in variants},
+        "brackets": [],
+        "best": {},
+        "errors": {},
+    }
+    log(f"device: {results['meta']['device']}; {len(variants)} variants, "
+        f"{args.brackets} brackets")
+
+    alive = list(variants)
+    for v in list(alive):
+        for _ in range(args.warmup):
+            try:
+                t, m = run_variant(v)
+                log(f"warmup {v['tag']}: {t:.3f}s ({m:.0f} MLUPS)")
+            except Exception as e:  # compile failures are data, not crashes
+                log(f"warmup {v['tag']}: FAILED {type(e).__name__}: {str(e)[:200]}")
+                results["errors"][v["tag"]] = f"{type(e).__name__}: {str(e)[:300]}"
+                alive.remove(v)
+                break
+
+    for b in range(args.brackets):
+        bracket = {}
+        for v in alive:
+            times = []
+            for _ in range(args.passes_per_bracket):
+                try:
+                    t, m = run_variant(v)
+                except Exception as e:
+                    log(f"{v['tag']}: FAILED {type(e).__name__}: {str(e)[:200]}")
+                    results["errors"][v["tag"]] = (
+                        f"{type(e).__name__}: {str(e)[:300]}"
+                    )
+                    times = []
+                    break
+                times.append(t)
+                log(f"b{b} {v['tag']}: {t:.3f}s ({m:.0f} MLUPS)")
+            if times:
+                bracket[v["tag"]] = [round(t, 4) for t in times]
+        results["brackets"].append(bracket)
+        with open(args.out, "w") as f:  # incremental: crashes keep data
+            json.dump(results, f, indent=1)
+
+    for v in variants:
+        ts = [t for b in results["brackets"] for t in b.get(v["tag"], [])]
+        if ts:
+            best = min(ts)
+            results["best"][v["tag"]] = {
+                "best_s": round(best, 4),
+                "mlups": round(v["nx"] * v["ny"] * v["iters"] / best / 1e6, 1),
+                "n_runs": len(ts),
+            }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    log("best: " + json.dumps(results["best"]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
