@@ -50,11 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--precision",
-        choices=["f32", "f64", "bf16"],
+        choices=["f32", "f64", "bf16", "c16"],
         default="f32",
         help="state dtype: f32 (default, passes the 1%% golden gate), "
         "f64 (CPU exactness studies), bf16 (opt-in halved-bandwidth mode "
-        "for HBM-bound grids; ~2x faster at >=2048^2, looser accuracy)",
+        "for HBM-bound grids; ~2x faster at >=2048^2, looser accuracy), "
+        "c16 (companded 16-bit deviation storage: bf16's bandwidth with "
+        "golden-gate-passing accuracy; single-device block/temporal kernels)",
     )
     p.add_argument(
         "--mesh",
@@ -189,6 +191,7 @@ def main(argv=None) -> int:
         "f32": jnp.float32,
         "f64": jnp.float64,
         "bf16": jnp.bfloat16,
+        "c16": "c16",  # normalized inside run_simulation (ops/devspace.py)
     }[args.precision]
 
     if args.verbose:
@@ -247,6 +250,13 @@ def main(argv=None) -> int:
     # Unsupported flag combinations fail loudly rather than silently
     # dropping a resumed state or checkpoint schedule (ADVICE r1).
     meshed = mesh_2d is not None or mesh_n > 1
+    if meshed and args.precision == "c16":
+        print(
+            "lbm_tpu: error: --precision c16 is single-device only "
+            "(use f32/bf16 with --mesh)",
+            file=sys.stderr,
+        )
+        return 1
     if meshed and args.debug:
         print(
             "lbm_tpu: error: --debug (per-step report) is not supported with "

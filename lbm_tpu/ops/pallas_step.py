@@ -52,10 +52,10 @@ from lbm_tpu.ops.collision import bgk_relax, paired_default
 
 def _pick_block(ny: int, nx: int, dtype=jnp.float32) -> int | None:
     """Row-block height B (must divide ny; multiples of the sublane tile —
-    8 for f32 storage, 16 for bf16). Returns None for shapes the kernel
-    can't tile (caller falls back to the jnp step). ``LBM_PALLAS_BLOCK``
-    overrides for sweeps."""
-    tile = 16 if dtype == jnp.bfloat16 else 8
+    8 for f32 storage, 16 for the 16-bit storage modes bf16/c16-int16).
+    Returns None for shapes the kernel can't tile (caller falls back to the
+    jnp step). ``LBM_PALLAS_BLOCK`` overrides for sweeps."""
+    tile = 16 if jnp.dtype(dtype).itemsize == 2 else 8
     if nx % 128 != 0 or ny % tile != 0:
         return None
     override = os.environ.get("LBM_PALLAS_BLOCK")
@@ -162,7 +162,8 @@ def _physics(m, hd, hu, nobst, force_gate, *, block: int, w1a: float,
 
 
 def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
-            out_dtype=jnp.float32, col_fix: bool = False, paired: bool = True):
+            out_dtype=jnp.float32, col_fix: bool = False, paired: bool = True,
+            dev=None):
     """One row-block of the fused step. See module docstring for the layout.
 
     w1a/w2a are the accelerate weights density*accel/9 and /36
@@ -174,6 +175,10 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
     columns (pre-aligned per plane by the sharding layer) and a lane-masked
     select patches the wrapped column. Two extra side outputs emit this
     block's NEW edge columns for the next step's exchange.
+
+    ``dev`` enables c16 storage (ops/devspace.py): a ``(bg0..bg8, h)``
+    tuple of the per-plane backgrounds and companding range. Loads decode
+    int16 → f32 full values; stores encode back. All physics stays f32.
     """
     if col_fix:
         (cells_ref, halo_dn_ref, halo_up_ref, colL_ref, colR_ref,
@@ -190,19 +195,58 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
         jnp.where(i == nblk - 1, 1.0, 0.0).astype(jnp.float32) * owner_ref[0, 0]
     )
     nobst = nobst_ref[...].astype(jnp.float32)
-    m = [cells_ref[k].astype(jnp.float32) for k in range(9)]
-    hd = halo_dn_ref[0].astype(jnp.float32)
-    hu = halo_up_ref[0].astype(jnp.float32)
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    m = [load(cells_ref[k], k) for k in range(9)]
+    if dev is None:
+        hd = halo_dn_ref[0].astype(jnp.float32)
+        hu = halo_up_ref[0].astype(jnp.float32)
+    else:
+        # Halo rows carry planes (2,5,6) / (4,7,8) — decode each with ITS bg.
+        hd = jnp.concatenate(
+            [load(halo_dn_ref[0, j : j + 1], k) for j, k in enumerate((2, 5, 6))],
+            axis=0,
+        )
+        hu = jnp.concatenate(
+            [load(halo_up_ref[0, j : j + 1], k) for j, k in enumerate((4, 7, 8))],
+            axis=0,
+        )
     colfix = None
     if col_fix:
-        colfix = (
-            colL_ref[...].astype(jnp.float32),
-            colR_ref[...].astype(jnp.float32),
-        )
+        if dev is None:
+            colfix = (
+                colL_ref[...].astype(jnp.float32),
+                colR_ref[...].astype(jnp.float32),
+            )
+        else:
+            colfix = (
+                jnp.concatenate(
+                    [load(colL_ref[j : j + 1], k) for j, k in enumerate((1, 5, 8))],
+                    axis=0,
+                ),
+                jnp.concatenate(
+                    [load(colR_ref[j : j + 1], k) for j, k in enumerate((3, 6, 7))],
+                    axis=0,
+                ),
+            )
     res, u_sq = _physics(
         m, hd, hu, nobst, force_gate, block=block, w1a=w1a, w2a=w2a,
-        omega=omega, out_dtype=out_dtype, colfix=colfix, paired=paired,
+        omega=omega, out_dtype=jnp.float32 if dev is not None else out_dtype,
+        colfix=colfix, paired=paired,
     )
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+
+        res = [
+            encode_value(res[k] - dev[k], dev[9]).astype(jnp.int16)
+            for k in range(9)
+        ]
     for k in range(9):
         out_ref[k] = res[k]
 
@@ -232,12 +276,12 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
 
 @functools.lru_cache(maxsize=None)
 def _make_pallas_call(ny, nx, block, w1a, w2a, omega, interpret,
-                      dtype_name="float32", paired=True):
+                      dtype_name="float32", paired=True, dev=None):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, w1a=w1a, w2a=w2a, omega=omega,
-        out_dtype=dtype, paired=paired,
+        out_dtype=dtype, paired=paired, dev=dev,
     )
     return pl.pallas_call(
         kern,
@@ -377,16 +421,17 @@ def make_halos(cells, block):
 
 
 def _prepare_obstacles(obstacles, dtype):
-    """Precompute the float not-obstacle plane once per run (the kernel's
-    arithmetic masking form, kernels.cl:85-86). Stored at the state dtype
-    (0/1 are exact in bf16) so the mask stream shares the bandwidth saving."""
-    if dtype == jnp.bfloat16:
-        return (obstacles == 0).astype(jnp.bfloat16)
+    """Precompute the not-obstacle plane once per run (the kernel's
+    arithmetic masking form, kernels.cl:85-86). Stored 16-bit under the
+    16-bit state modes (0/1 are exact in bf16 and int16) so the mask stream
+    shares the bandwidth saving."""
+    if dtype in (jnp.bfloat16, jnp.int16):
+        return (obstacles == 0).astype(dtype)
     return (obstacles == 0).astype(jnp.float32)
 
 
 def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
-                owner=None, paired=None, block=None):
+                owner=None, paired=None, block=None, dev=None):
     """One fused timestep on the ``(cells, halo_dn, halo_up)`` carry.
 
     The halo pair always equals the boundary rows of ``cells`` — maintained
@@ -408,6 +453,7 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
         bool(interpret),
         dtype_name=cells.dtype.name,
         paired=paired_default() if paired is None else paired,
+        dev=dev,
     )
     if owner is None:
         owner = jnp.ones((1, 1), jnp.float32)
@@ -416,7 +462,9 @@ def _step_carry(state, nobst, density, accel, omega, *, interpret=False,
 
 
 def _init_state(cells, block=None):
-    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+    # int16 is the c16 companded-deviation storage (ops/devspace.py) — the
+    # kernel decodes it itself; anything else non-16/32-bit runs f32.
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
         cells = cells.astype(jnp.float32)
     if block is None:
         block = _pick_block(cells.shape[1], cells.shape[2], cells.dtype)
@@ -429,7 +477,7 @@ def _extract_cells(state):
 
 
 def lbm_step_pallas(state, nobst, density, accel, omega, paired=None,
-                    block=None):
+                    block=None, dev=None):
     """Fused-kernel step (TPU). Accepts either the ``(cells, halo_dn,
     halo_up)`` carry (the fast path the driver uses via ``init_state``) or a
     bare ``(9, ny, nx)`` cells array (convenience/oracle form — halos built
@@ -441,11 +489,11 @@ def lbm_step_pallas(state, nobst, density, accel, omega, paired=None,
     if isinstance(state, (tuple, list)):
         return _step_carry(
             tuple(state), nobst, density, accel, omega, paired=paired,
-            block=block,
+            block=block, dev=dev,
         )
     new_state, tot_u = _step_carry(
         _init_state(state, block), nobst, density, accel, omega,
-        paired=paired, block=block,
+        paired=paired, block=block, dev=dev,
     )
     return new_state[0], tot_u
 
@@ -455,20 +503,21 @@ lbm_step_pallas.init_state = _init_state
 lbm_step_pallas.extract = _extract_cells
 lbm_step_pallas.takes_paired = True
 lbm_step_pallas.takes_block = True
+lbm_step_pallas.takes_dev = True
 lbm_step_pallas.pick_block = _pick_block
 
 
 def lbm_step_pallas_interpret(state, nobst, density, accel, omega,
-                              paired=None, block=None):
+                              paired=None, block=None, dev=None):
     """Interpreter-mode variant for CPU testing (same semantics, no TPU)."""
     if isinstance(state, (tuple, list)):
         return _step_carry(
             tuple(state), nobst, density, accel, omega, interpret=True,
-            paired=paired, block=block,
+            paired=paired, block=block, dev=dev,
         )
     new_state, tot_u = _step_carry(
         _init_state(state, block), nobst, density, accel, omega,
-        interpret=True, paired=paired, block=block,
+        interpret=True, paired=paired, block=block, dev=dev,
     )
     return new_state[0], tot_u
 
@@ -478,4 +527,5 @@ lbm_step_pallas_interpret.init_state = _init_state
 lbm_step_pallas_interpret.extract = _extract_cells
 lbm_step_pallas_interpret.takes_paired = True
 lbm_step_pallas_interpret.takes_block = True
+lbm_step_pallas_interpret.takes_dev = True
 lbm_step_pallas_interpret.pick_block = _pick_block

@@ -75,15 +75,30 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             out_ref, top_out_ref, bot_out_ref, sums_ref,
             *, block: int, nblk: int, depth: int, nx: int,
             w1a: float, w2a: float, omega: float, out_dtype,
-            paired: bool = True):
+            paired: bool = True, dev=None, probe=None):
+    """``probe`` (perf-bisection only, scripts/probe_temporal_roofline.py;
+    WRONG physics): "copy" = skip all physics, stream blocks through with a
+    +1 transform (pure HBM-traffic rate); "noroll" = full physics minus the
+    east/west lane rolls; "nosum" = full physics minus the per-step
+    reductions."""
     i = pl.program_id(0)
     B, T = block, depth
 
+    if probe == "copy":
+        for k in range(9):
+            val = (cells_ref[k].astype(jnp.float32) + 1.0).astype(out_dtype)
+            out_ref[k] = val
+            top_out_ref[0, T * k : T * k + T] = val[0:T]
+            bot_out_ref[0, T * k : T * k + T] = val[B - T : B]
+        for s in range(T):
+            sums_ref[i, s] = jnp.sum(cells_ref[0].astype(jnp.float32))
+        return
+
     def east(p):
-        return pltpu.roll(p, 1, 1)
+        return p if probe == "noroll" else pltpu.roll(p, 1, 1)
 
     def west(p):
-        return pltpu.roll(p, nx - 1, 1)
+        return p if probe == "noroll" else pltpu.roll(p, nx - 1, 1)
 
     # nobst_ref block covers rows r0-T .. r0+B+T-1 (built by the driver with
     # wrap) plus alignment pad rows; all step masks slice from it.
@@ -125,12 +140,22 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
     # ---- build the (B+2T)-row extended input: rows r0-T .. r0+B+T-1 -------
     # top_ref = neighbor (i-1)'s LAST-T input rows; bot_ref = (i+1)'s FIRST-T.
+    # c16 storage (``dev`` = (bg0..bg8, h), ops/devspace.py) decodes here and
+    # re-encodes at the stores; all T fused steps run on full f32 values.
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
     buf = tuple(
         jnp.concatenate(
             [
-                top_ref[0, T * k : T * k + T].astype(jnp.float32),
-                cells_ref[k].astype(jnp.float32),
-                bot_ref[0, T * k : T * k + T].astype(jnp.float32),
+                load(top_ref[0, T * k : T * k + T], k),
+                load(cells_ref[k], k),
+                load(bot_ref[0, T * k : T * k + T], k),
             ],
             axis=0,
         )
@@ -166,11 +191,19 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         # Per-step reduction over the CENTRAL B rows only (each global row
         # counted by exactly one block).
         c0 = u - 1
-        sums_ref[i, s - 1] = jnp.sum(nob_mid * jnp.sqrt(usq[c0 : c0 + B]))
+        if probe == "nosum":
+            sums_ref[i, s - 1] = usq[0, 0]
+        else:
+            sums_ref[i, s - 1] = jnp.sum(nob_mid * jnp.sqrt(usq[c0 : c0 + B]))
 
     # ---- outputs -------------------------------------------------------------
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
     for k in range(9):
-        val = buf[k].astype(out_dtype)
+        if dev is None:
+            val = buf[k].astype(out_dtype)
+        else:
+            val = encode_value(buf[k] - dev[k], dev[9]).astype(out_dtype)
         out_ref[k] = val
         # Side outputs: the OUTPUT's boundary row-packs (= next pass's halos).
         top_out_ref[0, T * k : T * k + T] = val[0:T]
@@ -179,7 +212,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-               paired=True):
+               paired=True, dev=None, probe=None):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -188,6 +221,7 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, depth=T, nx=nx,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev, probe=probe,
     )
     return pl.pallas_call(
         kern,
@@ -265,7 +299,8 @@ def nobst_ext(nobst, block, depth, dtype=jnp.float32):
 
 
 def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
-                  depth, *, interpret=False, paired=None):
+                  depth, *, interpret=False, paired=None, dev=None,
+                  probe=None):
     """Advance T timesteps. ``state`` = (cells, last_t, first_t) where the
     halo arrays are indexed by producer block (see make_halos_t).
 
@@ -281,6 +316,7 @@ def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
+        dev=dev, probe=probe,
     )
     out, first_o, last_o, sums = call(cells, last_t, first_t, nob_ext_arr, owner)
     # Kernel side outputs: top_out = the block's FIRST-T output rows,
@@ -289,11 +325,13 @@ def step_t_pallas(state, nob_ext_arr, owner, density, accel, omega, block,
 
 
 def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
-                 depth: int = DEFAULT_DEPTH, *, interpret=False, paired=None):
+                 depth: int = DEFAULT_DEPTH, *, interpret=False, paired=None,
+                 dev=None):
     """Run ``n_iters`` steps, T per HBM pass; the trailing ``n_iters % T``
     steps use the single-step block kernel. Returns
     ``(final_cells, tot_u_series)``. Storage dtype follows ``cells``
-    (f32 or bf16); arithmetic is f32 in-kernel either way."""
+    (f32, bf16, or — with ``dev`` — c16/int16 companded deviations);
+    arithmetic is f32 in-kernel either way."""
     from lbm_tpu.ops import pallas_step as PS
 
     _, ny, nx = cells.shape
@@ -316,7 +354,7 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
         state, tot_u = carry
         state, sums = step_t_pallas(
             state, nob_ext_arr, owner, density, accel, omega, block, T,
-            interpret=interpret, paired=paired,
+            interpret=interpret, paired=paired, dev=dev,
         )
         tot_u = jax.lax.dynamic_update_slice(
             tot_u, jnp.stack(sums), (T * j,)
@@ -333,7 +371,8 @@ def run_temporal(cells, nobst, density, accel, omega, n_iters, block,
         nob_plain = nobst.astype(cells.dtype)
         carry = step.init_state(cells)
         for r in range(rem):
-            carry, s = step(carry, nob_plain, density, accel, omega, paired=paired)
+            carry, s = step(carry, nob_plain, density, accel, omega,
+                            paired=paired, dev=dev)
             tot_u = tot_u.at[n_iters - rem + r].set(s)
         cells = step.extract(carry)
     return cells, tot_u

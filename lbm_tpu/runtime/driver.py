@@ -170,9 +170,11 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     the kernel computes in f32)."""
     if backend not in ("auto", "temporal"):
         return None
-    if dtype == jnp.float64:
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
         if backend == "temporal":
-            raise ValueError("temporal backend stores f32/bf16 only")
+            raise ValueError("temporal backend stores f32/bf16/c16 only")
         return None
     from lbm_tpu.ops.pallas_resident import resident_supported
     from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
@@ -193,7 +195,8 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     # there), but at 8192^2 the temporal kernel's further traffic cut wins
     # (9,277 vs 8,310) — so bf16 selects temporal only for >=1 GB states.
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
-    if dtype == jnp.bfloat16:
+    if jnp.dtype(dtype).itemsize == 2:
+        # 16-bit storage (bf16 and c16/int16): same traffic, same policy.
         if (
             fits
             and on_tpu
@@ -222,8 +225,17 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
+    # int16 == c16 companded storage: the jnp fallback must decode/encode
+    # around the step (raw companded ints through the reference step would
+    # be garbage).
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int16):
+        from lbm_tpu.ops.devspace import lbm_step_reference_c16 as ref_step
+
+        ref_name = "reference-c16"
+    else:
+        ref_step, ref_name = lbm_step_reference, "reference"
     if backend == "reference":
-        return lbm_step_reference, "reference"
+        return ref_step, ref_name
     if jnp.dtype(dtype) == jnp.float64:
         if backend == "pallas":
             raise ValueError(
@@ -233,15 +245,22 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
         return lbm_step_reference, "reference"
     try:
         from lbm_tpu.ops.pallas_step import (
+            _pick_block,
             lbm_step_pallas,
             lbm_step_pallas_interpret,
-            pallas_supported,
         )
     except ImportError:
         if backend == "pallas":
             raise
-        return lbm_step_reference, "reference"
-    fits = pallas_supported(params.ny, params.nx)
+        return ref_step, ref_name
+    fit_dtype = (
+        jnp.dtype(dtype)
+        if jnp.dtype(dtype) in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+        )
+        else jnp.float32
+    )
+    fits = _pick_block(params.ny, params.nx, fit_dtype) is not None
     on_tpu = jax.devices()[0].platform == "tpu"
     if backend == "pallas":
         if not fits:
@@ -257,17 +276,17 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
         )
     if on_tpu and fits:
         return lbm_step_pallas, "pallas"
-    return lbm_step_reference, "reference"
+    return ref_step, ref_name
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "step_fn",
-                     "paired", "block"),
+                     "paired", "block", "dev"),
     donate_argnums=(0,),
 )
 def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-              step_fn, paired=True, block=None):
+              step_fn, paired=True, block=None, dev=None):
     # Env-style knobs (the LBM_COLLIDE form, the LBM_PALLAS_BLOCK height)
     # must arrive as STATIC jit args: jit.lower() serves cached traces for
     # repeated identical signatures, so anything read from the environment
@@ -278,8 +297,15 @@ def _run_loop(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
         call_step = step_fn
     if getattr(step_fn, "takes_block", False):
         call_step = functools.partial(call_step, block=block)
-    # The mean-velocity series stays f32 even under bf16 storage.
-    av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+    if getattr(step_fn, "takes_dev", False):
+        call_step = functools.partial(call_step, dev=dev)
+    # The mean-velocity series stays f32 under the 16-bit storage modes
+    # (bf16 and c16/int16).
+    av_dtype = (
+        cells.dtype
+        if cells.dtype in (jnp.float32, jnp.float64)
+        else jnp.float32
+    )
     av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
     # Step implementations may preprocess the obstacle mask once, outside the
     # loop (e.g. the pallas kernel wants a float "not-obstacle" plane), and
@@ -350,22 +376,22 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "paired"),
+                     "block", "depth", "paired", "dev"),
     donate_argnums=(0,),
 )
 def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-                  interpret, block, depth, paired=True):
-    # block/depth/paired are resolved by the caller OUTSIDE jit (env overrides
-    # like LBM_TEMPORAL_DEPTH must key the jit cache, not be read under a
-    # trace).
+                  interpret, block, depth, paired=True, dev=None):
+    # block/depth/paired/dev are resolved by the caller OUTSIDE jit (env
+    # overrides like LBM_TEMPORAL_DEPTH must key the jit cache, not be read
+    # under a trace).
     from lbm_tpu.ops.pallas_temporal import run_temporal
 
-    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
         cells = cells.astype(jnp.float32)
     nobst = (obstacles == 0).astype(cells.dtype)
     cells, tot_u = run_temporal(
         cells, nobst, density, accel, omega, n_iters,
-        block, depth, interpret=interpret, paired=paired,
+        block, depth, interpret=interpret, paired=paired, dev=dev,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -414,14 +440,31 @@ def run_simulation(
     ``chunk_every``/``on_chunk`` split the loop for observation without
     checkpointing (e.g. per-step debug reports): ``on_chunk(step, cells,
     av_chunk)`` is called after each chunk with the completed step count.
+
+    ``dtype="c16"`` selects companded-16-bit deviation storage
+    (ops/devspace.py): half the HBM traffic of f32 with golden-gate-passing
+    accuracy (unlike bf16). Runs through the block/temporal kernels;
+    checkpoints, chunk callbacks, and the returned state are decoded f32.
     """
+    dev_spec = None
+    if isinstance(dtype, str) and dtype == "c16":
+        from lbm_tpu.ops.devspace import DevSpec
+
+        dev_spec = DevSpec.for_params(params.density, params.accel)
+        dtype = jnp.int16
+        if backend in ("aa", "resident"):
+            raise ValueError(
+                f"{backend} backend does not support c16 storage yet "
+                "(use auto/pallas/temporal)"
+            )
     # AA is consulted first: its auto policy claims the value-carry regime
     # (1.4x) and the 40-60 MB single-copy gap (1.75x); the ping-pong
-    # resident kernel keeps the 4-40 MB middle.
-    aa_interpret = select_aa(params, backend, dtype)
+    # resident kernel keeps the 4-40 MB middle. c16 (int16 storage) runs
+    # the HBM-traffic-bound block/temporal kernels only.
+    aa_interpret = None if dev_spec is not None else select_aa(params, backend, dtype)
     resident_interpret = None
     temporal_interpret = None
-    if aa_interpret is None:
+    if aa_interpret is None and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
     if aa_interpret is None and resident_interpret is None:
         temporal_interpret = select_temporal(params, backend, dtype)
@@ -430,7 +473,16 @@ def run_simulation(
     else:
         step_fn = None
 
-    if initial_cells is None:
+    if dev_spec is not None:
+        from lbm_tpu.ops.devspace import encode_state
+
+        full = (
+            D2Q9.initial_state(params, dtype=jnp.float32)
+            if initial_cells is None
+            else jnp.asarray(initial_cells, dtype=jnp.float32)
+        )
+        cells = encode_state(full, dev_spec)
+    elif initial_cells is None:
         cells = D2Q9.initial_state(params, dtype=dtype)
     else:
         cells = jnp.asarray(initial_cells, dtype=dtype)
@@ -439,10 +491,12 @@ def run_simulation(
         cells = jax.device_put(cells, device)
         obstacles_dev = jax.device_put(obstacles_dev, device)
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))  # d2q9-bgk.c:146-152
-    inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_dtype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
     paired = paired_default()  # resolved OUTSIDE jit: it must key the cache
+    # Static (hashable) form of the c16 companding spec for the kernels.
+    dev_tuple = None if dev_spec is None else (*dev_spec.bg, dev_spec.h)
 
     def lower_chunk(cells, n_iters):
         common = dict(
@@ -470,19 +524,29 @@ def run_simulation(
         if temporal_interpret is not None:
             from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
 
-            t_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+            t_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
             t_depth = pick_depth(params.ny, params.nx, t_dtype)
             return _run_temporal.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=temporal_interpret,
                 block=pick_block(params.ny, params.nx, t_depth, t_dtype),
-                depth=t_depth, **common,
+                depth=t_depth, dev=dev_tuple, **common,
             )
         step_kw = {}
         if getattr(step_fn, "takes_block", False):
             # LBM_PALLAS_BLOCK resolved OUTSIDE jit, like the collide form.
-            s_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+            s_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
             step_kw["block"] = step_fn.pick_block(params.ny, params.nx, s_dtype)
+        if getattr(step_fn, "takes_dev", False):
+            step_kw["dev"] = dev_tuple
         return _run_loop.lower(
             cells, obstacles_dev, inv_tot_cells, step_fn=step_fn,
             **step_kw, **common,
@@ -509,6 +573,14 @@ def run_simulation(
     compiled = {n: lower_chunk(cells, n).compile() for n in sorted(set(chunk_sizes))}
     compile_time = time.perf_counter() - t0
 
+    def as_full(state):
+        """Observer view of the state: c16 storage decodes to f32."""
+        if dev_spec is None:
+            return state
+        from lbm_tpu.ops.devspace import decode_state
+
+        return decode_state(state, dev_spec)
+
     elapsed = 0.0
     step = start_step
     for n in chunk_sizes:
@@ -519,7 +591,7 @@ def run_simulation(
         av_chunks.append(np.asarray(av))
         step += n
         if on_chunk is not None:
-            on_chunk(step, cells, av_chunks[-1])
+            on_chunk(step, as_full(cells), av_chunks[-1])
         if (
             checkpoint_path is not None
             and checkpoint_every
@@ -527,13 +599,33 @@ def run_simulation(
         ):
             from lbm_tpu.runtime.checkpoint import save_checkpoint_as
 
+            # c16 checkpoints store the decoded f32 state (the format stays
+            # storage-agnostic; resume re-encodes, an exact round-trip up to
+            # possible single-quantum rint boundary flips).
             save_checkpoint_as(
-                checkpoint_path, params, np.asarray(cells), np.concatenate(av_chunks),
-                step, format=checkpoint_format,
+                checkpoint_path, params, np.asarray(as_full(cells)),
+                np.concatenate(av_chunks), step, format=checkpoint_format,
             )
 
+    final_cells = np.asarray(as_full(cells))
+    if dev_spec is not None:
+        from lbm_tpu.ops.devspace import max_abs_deviation
+
+        # Saturation check (failure detection): H leaves ~4x headroom over
+        # the observed per-config maxima; a final state near the clamp means
+        # the companding range was exceeded mid-run and accuracy is suspect.
+        md = max_abs_deviation(final_cells, dev_spec)
+        if md > 0.5 * dev_spec.h:
+            import warnings
+
+            warnings.warn(
+                f"c16 deviations reached {md:.3g} (companding range "
+                f"H={dev_spec.h:.3g}) — results may have saturated; rerun "
+                "with f32 or a larger LBM_C16_H",
+                stacklevel=2,
+            )
     return SimulationResult(
-        cells=np.asarray(cells),
+        cells=final_cells,
         av_vels=np.concatenate(av_chunks),
         elapsed=elapsed,
         compile_time=compile_time,
