@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
         "f64 (CPU exactness studies), bf16 (opt-in halved-bandwidth mode "
         "for HBM-bound grids; ~2x faster at >=2048^2, looser accuracy), "
         "c16 (companded 16-bit deviation storage: bf16's bandwidth with "
-        "golden-gate-passing accuracy; single-device block/temporal kernels)",
+        "golden-gate-passing accuracy; single-device or 1-D mesh)",
     )
     p.add_argument(
         "--mesh",
@@ -250,10 +250,10 @@ def main(argv=None) -> int:
     # Unsupported flag combinations fail loudly rather than silently
     # dropping a resumed state or checkpoint schedule (ADVICE r1).
     meshed = mesh_2d is not None or mesh_n > 1
-    if meshed and args.precision == "c16":
+    if mesh_2d is not None and args.precision == "c16":
         print(
-            "lbm_tpu: error: --precision c16 is single-device only "
-            "(use f32/bf16 with --mesh)",
+            "lbm_tpu: error: --precision c16 supports single-device and "
+            "1-D --mesh N only (not a 2-D mesh)",
             file=sys.stderr,
         )
         return 1

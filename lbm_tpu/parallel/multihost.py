@@ -78,6 +78,10 @@ def run_simulation_multihost(params, obstacles, *, backend="auto", dtype=None):
 
     import time
 
+    if isinstance(dtype, str) and dtype == "c16":
+        raise ValueError(
+            "c16 storage is not supported on the multi-process path yet"
+        )
     dtype = jnp.float32 if dtype is None else dtype
     mesh = S.make_mesh()  # all global devices on the row axis
     n = mesh.devices.size

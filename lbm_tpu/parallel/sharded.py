@@ -142,6 +142,25 @@ def lbm_step_sharded(cells, obstacles, density, accel, omega, ny_global):
     return new_cells, jax.lax.psum(tot_u_local, AXIS)
 
 
+def make_sharded_c16_jnp_step(dev, ny_global: int):
+    """c16 jnp per-shard step: decode → jnp sharded step → encode (the
+    off-TPU / non-tiling fallback, mirroring devspace.lbm_step_reference_c16
+    for the single-device driver)."""
+    from lbm_tpu.ops.devspace import DevSpec, decode_state, encode_state
+
+    spec = DevSpec(bg=tuple(dev[:9]), h=float(dev[9]))
+
+    def step(state, obstacles, density, accel, omega):
+        full = decode_state(state, spec)
+        new, tot_u = lbm_step_sharded(
+            full, obstacles, density, accel, omega, ny_global
+        )
+        return encode_state(new, spec), tot_u
+
+    step.is_jnp = True  # pure-jnp: shard_map vma checking stays on
+    return step
+
+
 AXIS_X = "x"
 
 
@@ -500,7 +519,8 @@ def run_simulation_sharded_2d(
     )
 
 
-def make_sharded_pallas_step(interpret: bool = False, paired: bool | None = None):
+def make_sharded_pallas_step(interpret: bool = False, paired: bool | None = None,
+                             dev=None):
     """The fused Pallas kernel as the per-shard step (runs inside shard_map).
 
     Each shard runs the kernel on its local row block; the kernel maintains
@@ -509,9 +529,12 @@ def make_sharded_pallas_step(interpret: bool = False, paired: bool | None = None
     3 rows in each direction per step, riding ICI. The forcing row is gated
     by an owner scalar so only the shard holding global row ny-2 applies it.
 
-    Storage follows the carry's dtype (f32 or bf16 — bf16 rounds between
-    steps exactly like the single-device block kernel; arithmetic is f32
-    in-kernel either way). ``paired`` is resolved at factory time so the
+    Storage follows the carry's dtype (f32, bf16, or — with ``dev``, the
+    static c16 companding tuple — int16 companded deviations; see
+    ops/devspace.py). bf16/c16 round between steps exactly like the
+    single-device block kernel; arithmetic is f32 in-kernel either way.
+    The i16 halo rows ride the ppermutes untouched (exchange involves no
+    arithmetic). ``paired`` is resolved at factory time so the
     ``LBM_COLLIDE`` env read never happens under a trace (ADVICE r2).
 
     The returned function carries ``(cells_local, halo_dn, halo_up)`` and
@@ -527,13 +550,13 @@ def make_sharded_pallas_step(interpret: bool = False, paired: bool | None = None
         owner = (idx == n - 1).astype(jnp.float32).reshape(1, 1)
         (cells, dn, up), tot_local = PS._step_carry(
             state, nobst, density, accel, omega, interpret=interpret, owner=owner,
-            paired=paired,
+            paired=paired, dev=dev,
         )
         dn, up = _exchange_boundary_slots(dn, up)
         return (cells, dn, up), jax.lax.psum(tot_local, AXIS)
 
     def init_state(cells_local):
-        if cells_local.dtype not in (jnp.float32, jnp.bfloat16):
+        if cells_local.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
             cells_local = cells_local.astype(jnp.float32)
         block = PS._pick_block(
             cells_local.shape[1], cells_local.shape[2], cells_local.dtype
@@ -626,7 +649,7 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     omega = float(params.omega)
     n_iters = params.max_iters if n_iters is None else n_iters
 
-    step_fn_is_jnp = step_fn is None
+    step_fn_is_jnp = step_fn is None or getattr(step_fn, "is_jnp", False)
     if step_fn is None:
         def step_fn(cells, obstacles, d, a, o):  # noqa: ANN001
             return lbm_step_sharded(cells, obstacles, d, a, o, ny_global)
@@ -636,9 +659,14 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     extract = getattr(step_fn, "extract", None)
 
     def local_loop(cells, obstacles, inv_tot_cells):
-        # The mean-velocity series stays f32 under bf16 storage, matching
-        # the single-device driver (driver._run_loop) — VERDICT r2 item 5.
-        av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+        # The mean-velocity series stays f32 under the 16-bit storage modes
+        # (bf16 and c16/int16), matching the single-device driver
+        # (driver._run_loop) — VERDICT r2 item 5.
+        av_dtype = (
+            cells.dtype
+            if cells.dtype in (jnp.float32, jnp.float64)
+            else jnp.float32
+        )
         store_dtype = cells.dtype
         av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
         obstacles_prep = (
@@ -674,32 +702,47 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
 
 
 def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
-                    *, on_tpu: bool):
+                    *, on_tpu: bool, dev=None):
     """Resolve the per-shard step for a 1-D row mesh (None = the jnp step).
 
     dtype-aware: bf16 runs the fused kernel with bf16 storage (f32
     arithmetic), matching the single-device block kernel; f64 routes to
-    the jnp step (never a silent downgrade) — VERDICT r2 item 5.
+    the jnp step (never a silent downgrade) — VERDICT r2 item 5. With
+    ``dev`` (the c16 companding tuple), int16 runs the fused kernel in
+    companded-deviation mode, falling back to the decode/step/encode jnp
+    wrapper off-TPU.
     """
     if backend not in ("auto", "pallas", "pallas-overlap"):
-        return None
+        return (
+            make_sharded_c16_jnp_step(dev, params.ny)
+            if dev is not None and backend == "reference"
+            else None
+        )
     from lbm_tpu.ops.pallas_step import _pick_block
 
     kernel_dtype = (
         jnp.dtype(dtype)
-        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        if jnp.dtype(dtype) in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+        )
         else None
     )
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int16) and dev is None:
+        kernel_dtype = None  # raw int16 without a companding spec is invalid
     fits = kernel_dtype is not None and (
         _pick_block(params.ny // n_shards, params.nx, kernel_dtype) is not None
     )
     if backend in ("pallas", "pallas-overlap"):
+        if backend == "pallas-overlap" and dev is not None:
+            raise ValueError("pallas-overlap does not support c16 storage yet")
         if kernel_dtype is None:
             raise ValueError(
-                f"sharded {backend} backend stores f32/bf16 only; use "
-                "--precision f32/bf16 or the jnp step for f64"
+                f"sharded {backend} backend stores f32/bf16/c16 only; use "
+                "--precision f32/bf16/c16 or the jnp step for f64"
             )
         if not fits:
+            if dev is not None:
+                return make_sharded_c16_jnp_step(dev, params.ny)
             raise ValueError(
                 f"local grid {params.ny // n_shards}x{params.nx} does not fit "
                 "the pallas kernel's tiling constraints"
@@ -709,7 +752,12 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
             if backend == "pallas-overlap"
             else make_sharded_pallas_step
         )
-        return make(interpret=not on_tpu)
+        return make(interpret=not on_tpu, dev=dev)
+    if dev is not None:
+        # c16 auto: fused kernel on TPU, jnp wrapper otherwise.
+        if on_tpu and fits:
+            return make_sharded_pallas_step(dev=dev)
+        return make_sharded_c16_jnp_step(dev, params.ny)
     if on_tpu and fits:
         return make_sharded_pallas_step()
     return None
@@ -731,19 +779,39 @@ def run_simulation_sharded(
 ):
     """Run the full simulation over a device mesh. Requires ``ny`` divisible
     by the number of devices. Checkpoint/resume mirrors the single-device
-    driver (chunked loop; resumable state gathered to host per snapshot)."""
+    driver (chunked loop; resumable state gathered to host per snapshot).
+    ``dtype="c16"`` selects companded-deviation storage (ops/devspace.py);
+    checkpoints and the returned state are decoded f32."""
+    dev_spec = None
+    dev_tuple = None
+    if isinstance(dtype, str) and dtype == "c16":
+        from lbm_tpu.ops.devspace import DevSpec
+
+        dev_spec = DevSpec.for_params(params.density, params.accel)
+        dev_tuple = (*dev_spec.bg, dev_spec.h)
+        dtype = jnp.int16
     mesh = make_mesh(n_devices)
     n = mesh.devices.size
     if params.ny % n != 0:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
 
     step_fn = pick_shard_step(params, n, backend, dtype,
-                              on_tpu=mesh.devices.flat[0].platform == "tpu")
+                              on_tpu=mesh.devices.flat[0].platform == "tpu",
+                              dev=dev_tuple)
 
     cells_sharding = NamedSharding(mesh, P(None, AXIS, None))
     obst_sharding = NamedSharding(mesh, P(AXIS, None))
 
-    if initial_cells is None:
+    if dev_spec is not None:
+        from lbm_tpu.ops.devspace import encode_state
+
+        full = (
+            D2Q9.initial_state(params, dtype=jnp.float32)
+            if initial_cells is None
+            else jnp.asarray(initial_cells, dtype=jnp.float32)
+        )
+        host_cells = encode_state(full, dev_spec)
+    elif initial_cells is None:
         host_cells = D2Q9.initial_state(params, dtype=dtype)
     else:
         host_cells = jnp.asarray(initial_cells, dtype=dtype)
@@ -752,7 +820,7 @@ def run_simulation_sharded(
         jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
     )
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))
-    inv_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_dtype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
     inv_tot_cells = jnp.asarray(1.0 / tot_cells, dtype=inv_dtype)
 
     from lbm_tpu.runtime.driver import SimulationResult, sync
@@ -775,6 +843,13 @@ def run_simulation_sharded(
     }
     compile_time = time.perf_counter() - t0
 
+    def as_full(state):
+        if dev_spec is None:
+            return state
+        from lbm_tpu.ops.devspace import decode_state
+
+        return decode_state(state, dev_spec)
+
     elapsed = 0.0
     step = start_step
     for n_chunk in chunk_sizes:
@@ -788,12 +863,12 @@ def run_simulation_sharded(
             from lbm_tpu.runtime.checkpoint import save_checkpoint_as
 
             save_checkpoint_as(
-                checkpoint_path, params, np.asarray(cells),
+                checkpoint_path, params, np.asarray(as_full(cells)),
                 np.concatenate(av_chunks), step, format=checkpoint_format,
             )
 
     return SimulationResult(
-        cells=np.asarray(cells),
+        cells=np.asarray(as_full(cells)),
         av_vels=np.concatenate(av_chunks),
         elapsed=elapsed,
         compile_time=compile_time,

@@ -73,16 +73,22 @@ def main():
         npasses = ITERS // depth
         dv = dev_tuple if c16 else None
 
+        # nob_ext/owner ride as ARGUMENTS: closing over a ~400 MB array
+        # inlines it as an HLO constant and blows the relay's compile
+        # request size limit (HTTP 413).
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(state):
+        def run_(state, nob_ext_a, owner_a):
             def body(j, st):
                 st, _sums = PT.step_t_pallas(
-                    st, nob_ext, owner, params.density, params.accel,
+                    st, nob_ext_a, owner_a, params.density, params.accel,
                     params.omega, block, depth, probe=probe, dev=dv,
                     interpret=INTERPRET,
                 )
                 return st
             return jax.lax.fori_loop(0, npasses, body, state)
+
+        def run(state):
+            return run_(state, nob_ext, owner)
 
         def init():
             # fresh copies: run() donates its input buffers
@@ -101,12 +107,15 @@ def main():
                 else PS.lbm_step_pallas)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(state):
+        def run_(state, nob_a):
             def body(j, st):
-                st, _ = step(st, nob, params.density, params.accel,
+                st, _ = step(st, nob_a, params.density, params.accel,
                              params.omega, block=block, dev=dv)
                 return st
             return jax.lax.fori_loop(0, ITERS, body, state)
+
+        def run(state):
+            return run_(state, nob)
 
         def init():
             return PS._init_state(jnp.array(cells0), block)

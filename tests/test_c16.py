@@ -211,3 +211,34 @@ def test_c16_golden_gate_128x128():
     )
     p_diff = 100.0 * (ref_p - sim_p) / sim_p
     assert np.max(np.abs(p_diff)) < 0.5, np.max(np.abs(p_diff))
+
+
+def test_c16_sharded_matches_single_device():
+    """c16 over a 1-D mesh (fused kernel per shard, interpret) matches the
+    single-device c16 block kernel: identical storage rounding points, halo
+    rows ride the ppermutes as raw i16."""
+    from lbm_tpu.parallel.sharded import run_simulation_sharded
+
+    p, obs = _small(nx=128, ny=64, iters=4)
+    single = run_simulation(p, obs, backend="pallas", dtype="c16")
+    sharded = run_simulation_sharded(p, obs, n_devices=2, backend="pallas",
+                                     dtype="c16")
+    assert sharded.cells.dtype == np.float32  # decoded
+    assert sharded.av_vels.dtype == np.float32
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=5e-6)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels,
+                               rtol=1e-3, atol=1e-9)
+
+
+def test_c16_sharded_jnp_fallback():
+    """auto + c16 on a CPU mesh routes to the decode/step/encode jnp shard
+    step (vma-checked) and stays close to the f32 sharded run."""
+    from lbm_tpu.parallel.sharded import run_simulation_sharded
+
+    p, obs = _small(nx=128, ny=64, iters=4)
+    c16 = run_simulation_sharded(p, obs, n_devices=4, backend="auto",
+                                 dtype="c16")
+    f32 = run_simulation_sharded(p, obs, n_devices=4, backend="auto",
+                                 dtype=jnp.float32)
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
