@@ -56,7 +56,9 @@ DEFAULT_DEPTH = 2
 
 
 def _sublane_tile(dtype) -> int:
-    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+    # Native tile height: 16 sublanes for the 16-bit storage modes
+    # (bf16 and c16/int16), 8 for f32.
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
 
 
 def temporal_supported(ny: int, nx: int, block: int, depth: int = 2,

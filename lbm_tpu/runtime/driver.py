@@ -160,6 +160,50 @@ _TEMPORAL_BF16_MIN_STATE = 1024 * 1024 * 1024
 _TEMPORAL_BF16_MAX_NX = 8192
 
 
+# Deep state-view kernel auto policy (round-3 A/B, bench_r3_deep.json):
+# filled in once the on-TPU session lands; until then deep is explicit-only
+# (--backend deep). Width cap mirrors the temporal kernel's probed sizes.
+_DEEP_AUTO = False
+_DEEP_MAX_NX = 8192
+
+
+def select_deep(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the deep state-view temporal kernel (T steps/pass,
+    neighbor strips read straight from the input state — ops/pallas_deep.py).
+
+    Returns None (don't) or the ``interpret`` flag. Storage f32/bf16/c16.
+    """
+    if backend not in ("auto", "deep"):
+        return None
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
+        if backend == "deep":
+            raise ValueError("deep backend stores f32/bf16/c16 only")
+        return None
+    from lbm_tpu.ops.pallas_deep import pick_config
+    from lbm_tpu.ops.pallas_resident import resident_supported
+
+    fits = pick_config(params.ny, params.nx, dtype) is not None
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "deep":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} unsupported by the deep kernel"
+            )
+        return not on_tpu
+    if not (_DEEP_AUTO and fits and on_tpu and params.nx <= _DEEP_MAX_NX):
+        return None
+    # auto: claims the HBM-bound regime (the same slot as the halo-carry
+    # temporal kernel) when enabled.
+    if jnp.dtype(dtype).itemsize == 2:
+        state_bytes = 9 * params.ny * params.nx * 2
+        return False if state_bytes >= _TEMPORAL_BF16_MIN_STATE else None
+    if not resident_supported(params.ny, params.nx, jnp.float32):
+        return False
+    return None
+
+
 def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the temporally-blocked (T-steps-per-pass) kernel.
 
@@ -221,7 +265,7 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
     only, so f64 routes to the reference step (never a silent downgrade:
     an explicit ``pallas`` + f64 request errors instead).
     """
-    if backend in ("resident", "temporal", "aa"):
+    if backend in ("resident", "temporal", "aa", "deep"):
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -379,6 +423,28 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
                      "block", "depth", "paired", "dev"),
     donate_argnums=(0,),
 )
+def _run_deep(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+              interpret, block, depth, paired=True, dev=None):
+    # block/depth/paired/dev resolved by the caller OUTSIDE jit (env
+    # overrides must key the jit cache).
+    from lbm_tpu.ops.pallas_deep import run_deep
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
+    cells, tot_u = run_deep(
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, interpret=interpret, paired=paired, dev=dev,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth", "paired", "dev"),
+    donate_argnums=(0,),
+)
 def _run_temporal(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
                   interpret, block, depth, paired=True, dev=None):
     # block/depth/paired/dev are resolved by the caller OUTSIDE jit (env
@@ -455,7 +521,7 @@ def run_simulation(
         if backend in ("aa", "resident"):
             raise ValueError(
                 f"{backend} backend does not support c16 storage yet "
-                "(use auto/pallas/temporal)"
+                "(use auto/pallas/temporal/deep)"
             )
     # AA is consulted first: its auto policy claims the value-carry regime
     # (1.4x) and the 40-60 MB single-copy gap (1.75x); the ping-pong
@@ -463,12 +529,17 @@ def run_simulation(
     # the HBM-traffic-bound block/temporal kernels only.
     aa_interpret = None if dev_spec is not None else select_aa(params, backend, dtype)
     resident_interpret = None
+    deep_interpret = None
     temporal_interpret = None
     if aa_interpret is None and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
     if aa_interpret is None and resident_interpret is None:
+        deep_interpret = select_deep(params, backend, dtype)
+    if (aa_interpret is None and resident_interpret is None
+            and deep_interpret is None):
         temporal_interpret = select_temporal(params, backend, dtype)
-    if aa_interpret is None and resident_interpret is None and temporal_interpret is None:
+    if (aa_interpret is None and resident_interpret is None
+            and deep_interpret is None and temporal_interpret is None):
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None
@@ -520,6 +591,20 @@ def run_simulation(
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
                 **common,
+            )
+        if deep_interpret is not None:
+            from lbm_tpu.ops.pallas_deep import pick_config
+
+            d_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
+            d_block, d_depth = pick_config(params.ny, params.nx, d_dtype)
+            return _run_deep.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=deep_interpret, block=d_block, depth=d_depth,
+                dev=dev_tuple, **common,
             )
         if temporal_interpret is not None:
             from lbm_tpu.ops.pallas_temporal import pick_block, pick_depth
