@@ -294,9 +294,11 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
     only adds trapezoid redundancy once traffic stops binding (measured:
     c16-T8 ~= f32-T8 at 4096^2 — neither is traffic-bound), and T=16
     compiles hang/time out on this toolchain. Block = the largest of
-    128/96/64/32/16 that divides ny and keeps the working set inside VMEM
-    at this width (B64 beat B32 by 16% at 4096^2).
-    ``LBM_DEEP_BLOCK`` / ``LBM_DEEP_DEPTH`` override for sweeps."""
+    64/32/16 that divides ny and keeps the working set inside VMEM at this
+    width (B64 beat B32 by 16% at 4096^2; B128 measured pathologically
+    slow at 1024-wide and below-trend at 2048^2 — short grids starve the
+    pipeline). ``LBM_DEEP_BLOCK`` / ``LBM_DEEP_DEPTH`` override for
+    sweeps."""
     if nx % 128 != 0:
         return None
     T = 8
@@ -308,7 +310,10 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
         b = int(ov_b)
         return (b, T) if deep_supported(ny, nx, b, T, dtype) else None
     itemsize = jnp.dtype(dtype).itemsize
-    for b in (128, 96, 64, 32, 16):
+    # B capped at 64: B64 beat B32 by 16% at 4096^2, but B128 measured
+    # pathologically slow at 1024-wide (155 MLUPS) and below-trend at
+    # 2048^2 — the short grids (few blocks) starve the pipeline.
+    for b in (64, 32, 16):
         if not deep_supported(ny, nx, b, T, dtype):
             continue
         # live f32 step buffers (2 levels) + double-buffered io blocks

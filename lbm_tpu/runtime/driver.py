@@ -160,10 +160,15 @@ _TEMPORAL_BF16_MIN_STATE = 1024 * 1024 * 1024
 _TEMPORAL_BF16_MAX_NX = 8192
 
 
-# Deep state-view kernel auto policy (round-3 A/B, bench_r3_deep.json):
-# filled in once the on-TPU session lands; until then deep is explicit-only
-# (--backend deep). Width cap mirrors the temporal kernel's probed sizes.
-_DEEP_AUTO = False
+# Deep state-view kernel auto policy (round-3 A/Bs: bench_r3_deep.json +
+# bench_r3_validation.json): deep beats the halo-carry temporal kernel by
+# +26-40% at every validated width — 2048^2 6.4k vs 5.1k, 4096^2 9.9k vs
+# 7.0-8.0k, 8192^2 9.9k vs 7.5k f32 (c16 within 4% of f32 everywhere:
+# traffic no longer binds). Auto claims the HBM-bound regime for f32 and
+# c16 at the VALIDATED widths only; narrower (1024-wide measured
+# pathologically slow with B128) and wider grids keep their prior routes.
+_DEEP_AUTO = True
+_DEEP_MIN_NX = 2048
 _DEEP_MAX_NX = 8192
 
 
@@ -192,13 +197,18 @@ def select_deep(params: LBMParams, backend: str, dtype) -> bool | None:
                 f"grid {params.ny}x{params.nx} unsupported by the deep kernel"
             )
         return not on_tpu
-    if not (_DEEP_AUTO and fits and on_tpu and params.nx <= _DEEP_MAX_NX):
+    if not (
+        _DEEP_AUTO
+        and fits
+        and on_tpu
+        and _DEEP_MIN_NX <= params.nx <= _DEEP_MAX_NX
+    ):
         return None
-    # auto: claims the HBM-bound regime (the same slot as the halo-carry
-    # temporal kernel) when enabled.
-    if jnp.dtype(dtype).itemsize == 2:
-        state_bytes = 9 * params.ny * params.nx * 2
-        return False if state_bytes >= _TEMPORAL_BF16_MIN_STATE else None
+    # auto: f32 and c16 claim the whole non-resident (HBM-bound) regime at
+    # the validated widths; bf16 keeps its measured block/temporal routes
+    # (deep-bf16 is unprobed on this toolchain).
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
+        return None
     if not resident_supported(params.ny, params.nx, jnp.float32):
         return False
     return None

@@ -91,3 +91,24 @@ def test_auto_bf16_temporal_capped_at_probed_width(on_tpu):
     # block kernel (ADVICE r2: auto caps stay at validated sizes).
     assert driver.select_temporal(p(8192, 16384), "auto", jnp.bfloat16) is None
     assert driver.select_temporal(p(16384, 8192), "auto", jnp.bfloat16) is False
+
+
+def test_auto_deep_claims_validated_hbm_widths(on_tpu):
+    # Round-3 policy (bench_r3_deep/validation.json): the deep state-view
+    # kernel wins +26-40% over halo-carry temporal at every validated
+    # width (2048/4096/8192) for f32 and c16; bf16 and unvalidated widths
+    # keep their prior routes.
+    assert driver.select_deep(p(2048, 2048), "auto", jnp.float32) is False
+    assert driver.select_deep(p(4096, 4096), "auto", jnp.float32) is False
+    assert driver.select_deep(p(8192, 8192), "auto", jnp.float32) is False
+    assert driver.select_deep(p(4096, 4096), "auto", jnp.int16) is False
+    assert driver.select_deep(p(2048, 2048), "auto", jnp.bfloat16) is None
+    assert driver.select_deep(p(1536, 1536), "auto", jnp.float32) is None
+    assert driver.select_deep(p(8192, 16384), "auto", jnp.float32) is None
+    assert driver.select_deep(p(1024, 1024), "auto", jnp.float32) is None
+
+
+def test_forced_deep():
+    assert driver.select_deep(p(2048, 2048), "deep", jnp.float32) is True
+    with pytest.raises(ValueError, match="f32/bf16/c16"):
+        driver.select_deep(p(2048, 2048), "deep", jnp.float64)
