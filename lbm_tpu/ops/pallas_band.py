@@ -1,0 +1,312 @@
+"""Band kernel: fixed-buffer deep temporal blocking with an IN-KERNEL step
+loop — T = 16-32 timesteps per HBM pass.
+
+The deep state-view kernel (`pallas_deep.py`) unrolls its T steps in
+Python, so the Mosaic program grows with T and this toolchain's compile
+helper hangs at T=16 (bench_r3_deep.json). This kernel makes the step loop
+a ``jax.lax.fori_loop`` INSIDE the kernel, which requires a uniform body:
+the extended buffer keeps its full ``W = B + 2T`` height on every step
+instead of shrinking. Rows within distance s of the buffer edge are
+garbage after s steps (they lack true neighbors — the y-shift wraps the
+buffer), but garbage only creeps INWARD one row per step and the output
+takes the central B rows after exactly T steps, which are computed from
+genuine data throughout. The per-step reduction slices the central band
+BEFORE any arithmetic on it, so edge garbage (including 1/rho infinities)
+never contaminates the sums.
+
+Costs vs the unrolled trapezoid: redundant compute ``(B+2T)/B`` (vs
+``1 + T/B``) — so B must be >= ~4T — and the same ``2/T + 2/B``
+plane-pass traffic. What it buys: T bounded by VMEM, not program size.
+At B=256/T=32 a pass moves ~0.07 plane-passes/step — firmly compute-bound
+— with 1.25x redundancy. This is the designed replacement for the
+"split-invocation AA" idea (VERDICT r2 item 6): two half-grid AA calls
+with a per-step seam handoff would reload both halves from HBM every
+step (block-kernel traffic — residency lost); keeping a BAND resident
+for T steps is the version of that idea that actually preserves
+residency, and it serves any grid width, not just the 72-100 MB band.
+
+Forcing-row offsets are constant across steps because the buffer does not
+shrink (row ny-2 sits at buffer row B+T-2 in the owner block and at T-2 in
+block 0's wrap halo); physics per step is the shared paired collision
+(ops/collision.py; reference: kernels.cl:7-42, 44-201).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
+
+_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
+_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
+_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
+
+
+def band_supported(ny: int, nx: int, block: int, depth: int,
+                   dtype=jnp.float32) -> bool:
+    del dtype
+    return (
+        nx % 128 == 0
+        and depth % 8 == 0         # halo strips are (9, T, nx) blocks
+        and depth >= 8
+        and block % depth == 0     # strip index maps need T | B
+        and ny % block == 0
+        and depth <= ny - 2
+    )
+
+
+def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
+            out_ref, sums_ref,
+            *, block: int, nblk: int, depth: int, nx: int,
+            w1a: float, w2a: float, omega: float, out_dtype,
+            paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    B, T = block, depth
+    W = B + 2 * T
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
+
+    def up_roll(p):     # tmp[r] = p[r-1] (buffer-wrap: garbage zone only)
+        return pltpu.roll(p, 1, 0)
+
+    def down_roll(p):   # tmp[r] = p[r+1]
+        return pltpu.roll(p, W - 1, 0)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    nob_mid = nob_all[T : T + B]
+    owner = owner_ref[0, 0]
+    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
+    gate_first = jnp.where(i == 0, 1.0, 0.0)
+    nob_force_owner = nob_all[B + T - 2 : B + T - 1]
+    nob_force_first = nob_all[T - 2 : T - 1]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    sel_owner = (rows_iota == B + T - 2).astype(jnp.float32)
+    sel_first = (rows_iota == T - 2).astype(jnp.float32)
+
+    def force(planes, sel, nob_row, gate, pos):
+        ok = (
+            (planes[3][pos : pos + 1] - w1a > 0.0)
+            & (planes[6][pos : pos + 1] - w2a > 0.0)
+            & (planes[7][pos : pos + 1] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am = sel * (ok * nob_row * gate)
+        return (
+            planes[0],
+            planes[1] + w1a * am,
+            planes[2],
+            planes[3] - w1a * am,
+            planes[4],
+            planes[5] + w2a * am,
+            planes[6] - w2a * am,
+            planes[7] - w2a * am,
+            planes[8] + w2a * am,
+        )
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    buf = tuple(
+        jnp.concatenate(
+            [load(top_ref[k], k), load(cells_ref[k], k), load(bot_ref[k], k)],
+            axis=0,
+        )
+        for k in range(9)
+    )
+
+    def step_body(s, buf):
+        buf = force(buf, sel_owner, nob_force_owner, gate_last, B + T - 2)
+        buf = force(buf, sel_first, nob_force_first, gate_first, T - 2)
+
+        def pull(k):
+            cy, cx = _CYS[k], _CXS[k]
+            p = buf[k]
+            if cy == 1:
+                p = up_roll(p)
+            elif cy == -1:
+                p = down_roll(p)
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
+
+        t = tuple(pull(k) for k in range(9))
+        relaxed, usq = bgk_relax(t, omega, paired=paired)
+        new = tuple(
+            jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
+        )
+        # Central band sliced BEFORE any reduction arithmetic: edge garbage
+        # (incl. 1/rho infinities) never reaches the sums.
+        sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
+        return new
+
+    buf = jax.lax.fori_loop(0, T, step_body, buf)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = buf[k][T : T + B]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
+               paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = ny // block
+    T = depth
+    spt = block // T
+    nstrip = ny // T
+    tile = _sublane_tile(dtype)
+    mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
+    kern = functools.partial(
+        _kernel, block=block, nblk=nblk, depth=T, nx=nx,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, (i * spt - 1) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            # 2 live W-row f32 buffer generations + double-buffered io.
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * (block + 2 * depth) * nx * 4)
+                + 4 * (9 * block * nx * dtype.itemsize)
+                + 16 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
+              *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps in one pass. Returns (new_cells, sums tuple)."""
+    _, ny, nx = cells.shape
+    call = _make_call(
+        ny, nx, block, depth,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, cells, cells, nob_ext_arr, owner)
+    return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
+
+
+def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
+             *, interpret=False, paired=None, dev=None):
+    """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
+    the single-step block kernel. Same contract as run_temporal/run_deep."""
+    from lbm_tpu.ops import pallas_step as PS
+
+    _, ny, nx = cells.shape
+    T = depth
+    if not band_supported(ny, nx, block, T, cells.dtype):
+        raise ValueError(
+            f"band kernel unsupported: grid {ny}x{nx}, block {block}, "
+            f"depth {T}, dtype {cells.dtype.name}"
+        )
+    nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
+    owner = jnp.ones((1, 1), jnp.float32)
+    if paired is None:
+        paired = paired_default()
+
+    npasses = n_iters // T
+    tot_u = jnp.zeros((n_iters,), jnp.float32)
+
+    def body(j, carry):
+        cells, tot_u = carry
+        cells, sums = step_band(
+            cells, nob_ext_arr, owner, density, accel, omega, block, T,
+            interpret=interpret, paired=paired, dev=dev,
+        )
+        tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
+        return cells, tot_u
+
+    if npasses:
+        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
+    rem = n_iters % T
+    if rem:
+        step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
+        nob_plain = nobst.astype(cells.dtype)
+        carry = step.init_state(cells)
+        for r in range(rem):
+            carry, s = step(carry, nob_plain, density, accel, omega,
+                            paired=paired, dev=dev)
+            tot_u = tot_u.at[n_iters - rem + r].set(s)
+        cells = step.extract(carry)
+    return cells, tot_u
+
+
+def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
+    """(block, depth) for the band kernel, or None: the deepest T in
+    {32, 16} with the largest B in {4T..8T} whose working set fits the
+    VMEM budget at this width (B >= 4T keeps redundancy <= 1.5x).
+    ``LBM_BAND_BLOCK`` / ``LBM_BAND_DEPTH`` override for sweeps."""
+    if nx % 128 != 0:
+        return None
+    ov_b = os.environ.get("LBM_BAND_BLOCK")
+    ov_t = os.environ.get("LBM_BAND_DEPTH")
+    if ov_b and ov_t:
+        b, t = int(ov_b), int(ov_t)
+        return (b, t) if band_supported(ny, nx, b, t, dtype) else None
+    itemsize = jnp.dtype(dtype).itemsize
+    budget = 80 * 1024 * 1024
+    for t in (32, 16):
+        for mult in (8, 6, 4):
+            b = t * mult
+            if not band_supported(ny, nx, b, t, dtype):
+                continue
+            vmem = (2 * 9 * (b + 2 * t) * nx * 4) + (4 * 9 * b * nx * itemsize)
+            if vmem <= budget:
+                return (b, t)
+    return None

@@ -1,0 +1,52 @@
+"""Band kernel (fixed-buffer in-kernel-loop deep blocking) vs the oracle."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbm_tpu.models.d2q9 import LBMParams
+from lbm_tpu.ops.pallas_band import band_supported, pick_config, run_band
+from test_temporal import PARAMS, make_setup, oracle_run
+
+
+@pytest.mark.parametrize("block,depth", [(16, 8), (32, 8), (32, 16)])
+def test_band_matches_oracle(block, depth):
+    steps = depth * 2 + 3  # two fused passes + a block-kernel tail
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=steps)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        steps, block, depth, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, steps)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band_forcing_from_rest():
+    """Forcing-only signal through a full fused pass incl. the wrap copy."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=16)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    state = np.asarray(oracle.initial_state(params), np.float32)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        16, 32, 16, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 16)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band_supported_and_pick():
+    assert band_supported(64, 128, 32, 16)
+    assert not band_supported(64, 128, 20, 10)   # depth % 8
+    assert not band_supported(64, 128, 36, 12)
+    b, t = pick_config(1536, 1536, jnp.float32)
+    assert t == 32 and b % t == 0 and 1536 % b == 0
+    assert pick_config(8, 120) is None
