@@ -39,15 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         choices=["auto", "pallas", "resident", "aa", "temporal", "deep",
-                 "reference", "pallas-overlap"],
+                 "band", "reference", "pallas-overlap"],
         default="auto",
         help="step implementation: block-streaming Pallas kernel, VMEM-resident "
         "multi-step kernel (grids that fit on-chip), in-place AA-resident "
         "kernel (single-copy VMEM residency up to ~1536^2 f32 / 2048^2 bf16), "
         "temporally-blocked T-steps-per-pass kernel (HBM-bound grids), deep "
         "state-view temporal kernel (T>=8, halo strips read from the input "
-        "state), jnp reference, auto, or pallas-overlap (sharded runs only: "
-        "in-kernel RDMA halo exchange)",
+        "state), band kernel (fixed-buffer deep blocking, in-kernel T=16-32 "
+        "step loop), jnp reference, auto, or pallas-overlap (sharded runs "
+        "only: in-kernel RDMA halo exchange)",
     )
     p.add_argument(
         "--precision",

@@ -473,6 +473,11 @@ def run_simulation_sharded_2d(
         raise ValueError(
             "pallas-overlap (in-kernel RDMA halo exchange) is 1-D-mesh only"
         )
+    if backend in ("resident", "aa", "temporal", "deep", "band"):
+        raise ValueError(
+            f"{backend} backend is single-device only; use --backend "
+            "auto/pallas/reference with a 2-D mesh"
+        )
     if backend in ("auto", "pallas") and dtype == jnp.float32:
         from lbm_tpu.ops.pallas_step import pallas_supported
 
@@ -712,6 +717,13 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
     companded-deviation mode, falling back to the decode/step/encode jnp
     wrapper off-TPU.
     """
+    if backend in ("resident", "aa", "temporal", "deep", "band"):
+        # Single-device-only kernels: fail loudly rather than silently
+        # running the jnp step under a mesh (loud-errors invariant).
+        raise ValueError(
+            f"{backend} backend is single-device only; use --backend "
+            "auto/pallas/pallas-overlap/reference with --mesh"
+        )
     if backend not in ("auto", "pallas", "pallas-overlap"):
         return (
             make_sharded_c16_jnp_step(dev, params.ny)
@@ -747,12 +759,10 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
                 f"local grid {params.ny // n_shards}x{params.nx} does not fit "
                 "the pallas kernel's tiling constraints"
             )
-        make = (
-            make_sharded_pallas_step_overlap
-            if backend == "pallas-overlap"
-            else make_sharded_pallas_step
-        )
-        return make(interpret=not on_tpu, dev=dev)
+        if backend == "pallas-overlap":
+            # dev is always None here (the c16 combination errored above).
+            return make_sharded_pallas_step_overlap(interpret=not on_tpu)
+        return make_sharded_pallas_step(interpret=not on_tpu, dev=dev)
     if dev is not None:
         # c16 auto: fused kernel on TPU, jnp wrapper otherwise.
         if on_tpu and fits:

@@ -168,8 +168,55 @@ _TEMPORAL_BF16_MAX_NX = 8192
 # c16 at the VALIDATED widths only; narrower (1024-wide measured
 # pathologically slow with B128) and wider grids keep their prior routes.
 _DEEP_AUTO = True
-_DEEP_MIN_NX = 2048
+_DEEP_MIN_NX = 1536
 _DEEP_MAX_NX = 8192
+
+# Band kernel (fixed-buffer in-kernel-loop deep blocking) auto policy
+# (bench_r3_band.json): band beats deep at every width where its config
+# fits VMEM — 1536^2 7,423 vs 6,701 (and vs the old temporal route's
+# 4,415: +70%), 2048^2 6,825 vs 6,019, 4096^2 10,333 vs 9,943; at
+# 8192-wide no band config fits (pick_config returns None) and deep
+# takes over. c16 band validated at 1536^2 (7,537).
+_BAND_AUTO = True
+_BAND_MIN_NX = 1536
+_BAND_MAX_NX = 8192
+
+
+def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the band kernel (ops/pallas_band.py): T=16-32 steps
+    per HBM pass via an in-kernel step loop. Returns None or ``interpret``.
+    """
+    if backend not in ("auto", "band"):
+        return None
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
+        if backend == "band":
+            raise ValueError("band backend stores f32/bf16/c16 only")
+        return None
+    from lbm_tpu.ops.pallas_band import pick_config
+    from lbm_tpu.ops.pallas_resident import resident_supported
+
+    fits = pick_config(params.ny, params.nx, dtype) is not None
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "band":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} unsupported by the band kernel"
+            )
+        return not on_tpu
+    if not (
+        _BAND_AUTO
+        and fits
+        and on_tpu
+        and _BAND_MIN_NX <= params.nx <= _BAND_MAX_NX
+    ):
+        return None
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
+        return None  # bf16 keeps its measured routes (band-bf16 unprobed)
+    if not resident_supported(params.ny, params.nx, jnp.float32):
+        return False
+    return None
 
 
 def select_deep(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -275,7 +322,7 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
     only, so f64 routes to the reference step (never a silent downgrade:
     an explicit ``pallas`` + f64 request errors instead).
     """
-    if backend in ("resident", "temporal", "aa", "deep"):
+    if backend in ("resident", "temporal", "aa", "deep", "band"):
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -433,6 +480,27 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
                      "block", "depth", "paired", "dev"),
     donate_argnums=(0,),
 )
+def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+              interpret, block, depth, paired=True, dev=None):
+    # knobs resolved by the caller OUTSIDE jit.
+    from lbm_tpu.ops.pallas_band import run_band
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
+    cells, tot_u = run_band(
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, interpret=interpret, paired=paired, dev=dev,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth", "paired", "dev"),
+    donate_argnums=(0,),
+)
 def _run_deep(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
               interpret, block, depth, paired=True, dev=None):
     # block/depth/paired/dev resolved by the caller OUTSIDE jit (env
@@ -539,17 +607,22 @@ def run_simulation(
     # the HBM-traffic-bound block/temporal kernels only.
     aa_interpret = None if dev_spec is not None else select_aa(params, backend, dtype)
     resident_interpret = None
+    band_interpret = None
     deep_interpret = None
     temporal_interpret = None
     if aa_interpret is None and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
     if aa_interpret is None and resident_interpret is None:
+        band_interpret = select_band(params, backend, dtype)
+    if (aa_interpret is None and resident_interpret is None
+            and band_interpret is None):
         deep_interpret = select_deep(params, backend, dtype)
     if (aa_interpret is None and resident_interpret is None
-            and deep_interpret is None):
+            and band_interpret is None and deep_interpret is None):
         temporal_interpret = select_temporal(params, backend, dtype)
     if (aa_interpret is None and resident_interpret is None
-            and deep_interpret is None and temporal_interpret is None):
+            and band_interpret is None and deep_interpret is None
+            and temporal_interpret is None):
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None
@@ -601,6 +674,20 @@ def run_simulation(
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
                 **common,
+            )
+        if band_interpret is not None:
+            from lbm_tpu.ops.pallas_band import pick_config
+
+            b_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
+            b_block, b_depth = pick_config(params.ny, params.nx, b_dtype)
+            return _run_band.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=band_interpret, block=b_block, depth=b_depth,
+                dev=dev_tuple, **common,
             )
         if deep_interpret is not None:
             from lbm_tpu.ops.pallas_deep import pick_config

@@ -17,8 +17,9 @@ Usage:
 SPEC is ``tag:key=val[,key=val...]`` with keys:
     size      square grid edge (or nx=/ny= separately)   [required]
     iters     timestep count                              [required]
-    backend   auto|aa|resident|temporal|pallas|reference  [auto]
-    dtype     f32|bf16|f64                                [f32]
+    backend   auto|aa|resident|temporal|deep|band|pallas|reference  [auto]
+    dtype     f32|bf16|f64|c16                            [f32]
+    depth/block for deep and band map to LBM_DEEP_*/LBM_BAND_*
     depth     temporal depth     (env LBM_TEMPORAL_DEPTH)
     block     block height       (env LBM_TEMPORAL_BLOCK or
                                   LBM_PALLAS_BLOCK, by backend)
@@ -38,6 +39,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -48,6 +50,7 @@ import numpy as np
 _ENV_KEYS = (
     "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
     "LBM_AA_TILE", "LBM_COLLIDE",
+    "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
 )
 
 
@@ -86,14 +89,21 @@ def parse_spec(spec: str) -> dict:
 
 def variant_env(v: dict) -> dict:
     env = {}
+    depth_knob = {
+        "deep": "LBM_DEEP_DEPTH", "band": "LBM_BAND_DEPTH",
+    }.get(v["backend"], "LBM_TEMPORAL_DEPTH")
     if "depth" in v:
-        env["LBM_TEMPORAL_DEPTH"] = str(v["depth"])
+        env[depth_knob] = str(v["depth"])
     if "block" in v:
-        knob = (
-            "LBM_PALLAS_BLOCK"
-            if v["backend"] in ("pallas", "auto", "reference")
-            else "LBM_TEMPORAL_BLOCK"
-        )
+        knob = {
+            "deep": "LBM_DEEP_BLOCK", "band": "LBM_BAND_BLOCK",
+        }.get(v["backend"])
+        if knob is None:
+            knob = (
+                "LBM_PALLAS_BLOCK"
+                if v["backend"] in ("pallas", "auto", "reference")
+                else "LBM_TEMPORAL_BLOCK"
+            )
         env[knob] = str(v["block"])
     if "tile" in v:
         env["LBM_AA_TILE"] = str(v["tile"])
@@ -116,23 +126,38 @@ def make_case(v: dict):
         obstacles[0, :] = obstacles[-1, :] = 1
     if v["geometry"] == "box":
         obstacles[:, 0] = obstacles[:, -1] = 1
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[
-        v["dtype"]
-    ]
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64,
+             "c16": "c16"}[v["dtype"]]
     return params, obstacles, dtype
 
 
-def run_variant(v: dict):
-    """One timed run; returns (elapsed_s, mlups) or raises."""
+class CompileTimeout(Exception):
+    pass
+
+
+def run_variant(v: dict, timeout: int = 0):
+    """One timed run; returns (elapsed_s, mlups) or raises.
+
+    ``timeout`` > 0 arms SIGALRM around the whole run: some kernel shapes
+    hang this toolchain's remote-compile helper for >30 min (CLAUDE.md),
+    and a hung variant must become an error row, not a stalled session."""
     from lbm_tpu.runtime.driver import run_simulation
 
     params, obstacles, dtype = make_case(v)
+    if timeout > 0:
+        signal.signal(
+            signal.SIGALRM,
+            lambda *_: (_ for _ in ()).throw(CompileTimeout(f"{timeout}s")),
+        )
+        signal.alarm(timeout)
     saved = {k: os.environ.pop(k, None) for k in _ENV_KEYS}
     try:
         for k, val in variant_env(v).items():
             os.environ[k] = val
         res = run_simulation(params, obstacles, backend=v["backend"], dtype=dtype)
     finally:
+        if timeout > 0:
+            signal.alarm(0)
         for k, old in saved.items():
             os.environ.pop(k, None)
             if old is not None:
@@ -150,6 +175,9 @@ def main() -> int:
     ap.add_argument("--passes-per-bracket", type=int, default=1)
     ap.add_argument("--warmup", type=int, default=1,
                     help="untimed runs per variant before bracket 1")
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="per-run SIGALRM guard in seconds (0 = off); hung "
+                    "compiles become error rows instead of stalled sessions")
     args = ap.parse_args()
 
     variants = [parse_spec(s) for s in args.specs]
@@ -174,7 +202,7 @@ def main() -> int:
     for v in list(alive):
         for _ in range(args.warmup):
             try:
-                t, m = run_variant(v)
+                t, m = run_variant(v, args.timeout)
                 log(f"warmup {v['tag']}: {t:.3f}s ({m:.0f} MLUPS)")
             except Exception as e:  # compile failures are data, not crashes
                 log(f"warmup {v['tag']}: FAILED {type(e).__name__}: {str(e)[:200]}")
@@ -188,7 +216,7 @@ def main() -> int:
             times = []
             for _ in range(args.passes_per_bracket):
                 try:
-                    t, m = run_variant(v)
+                    t, m = run_variant(v, args.timeout)
                 except Exception as e:
                     log(f"{v['tag']}: FAILED {type(e).__name__}: {str(e)[:200]}")
                     results["errors"][v["tag"]] = (

@@ -50,3 +50,29 @@ def test_band_supported_and_pick():
     b, t = pick_config(1536, 1536, jnp.float32)
     assert t == 32 and b % t == 0 and 1536 % b == 0
     assert pick_config(8, 120) is None
+
+
+def test_band_backend_in_driver():
+    """run_simulation(backend='band') off-TPU interprets and matches the
+    reference backend, including the sub-depth tail."""
+    from lbm_tpu.runtime.driver import run_simulation
+
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=20)
+    _, obstacles = make_setup(params)
+    ref = run_simulation(params, obstacles, backend="reference")
+    band = run_simulation(params, obstacles, backend="band")
+    np.testing.assert_allclose(band.cells, ref.cells, atol=3e-7)
+    # f32 per-step sums are accumulated in a different order inside the
+    # band pass; allow the extra reassociation slack.
+    np.testing.assert_allclose(band.av_vels, ref.av_vels, rtol=5e-5)
+
+
+def test_band_rejects_unsupported():
+    from lbm_tpu.runtime.driver import run_simulation
+
+    # ny=32: no (block, depth) config satisfies ny % B == 0 with T >= 8
+    # and T <= ny - 2 from pick_config's candidate set.
+    params = dataclasses.replace(PARAMS, ny=32)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    with pytest.raises(ValueError, match="band"):
+        run_simulation(params, obstacles, backend="band")

@@ -103,7 +103,10 @@ def test_auto_deep_claims_validated_hbm_widths(on_tpu):
     assert driver.select_deep(p(8192, 8192), "auto", jnp.float32) is False
     assert driver.select_deep(p(4096, 4096), "auto", jnp.int16) is False
     assert driver.select_deep(p(2048, 2048), "auto", jnp.bfloat16) is None
-    assert driver.select_deep(p(1536, 1536), "auto", jnp.float32) is None
+    # 1536 joined the deep range as the fallback behind the band kernel
+    # (run_simulation consults select_band first; deep serves the width
+    # only if band's pick_config has no fitting config there).
+    assert driver.select_deep(p(1536, 1536), "auto", jnp.float32) is False
     assert driver.select_deep(p(8192, 16384), "auto", jnp.float32) is None
     assert driver.select_deep(p(1024, 1024), "auto", jnp.float32) is None
 
@@ -112,3 +115,24 @@ def test_forced_deep():
     assert driver.select_deep(p(2048, 2048), "deep", jnp.float32) is True
     with pytest.raises(ValueError, match="f32/bf16/c16"):
         driver.select_deep(p(2048, 2048), "deep", jnp.float64)
+
+
+def test_auto_band_claims_hbm_widths(on_tpu):
+    # Round-3 policy (bench_r3_band.json): the band kernel (fixed-buffer
+    # deep blocking, in-kernel T=16-32 step loop) beats the deep kernel at
+    # every width where a config fits VMEM — 1536^2 7,423 vs 6,701 (+70%
+    # over the old temporal route), 2048^2 6,825 vs 6,019, 4096^2 10,333
+    # vs 9,943. At 8192-wide no config fits and deep keeps the width.
+    assert driver.select_band(p(1536, 1536), "auto", jnp.float32) is False
+    assert driver.select_band(p(2048, 2048), "auto", jnp.float32) is False
+    assert driver.select_band(p(4096, 4096), "auto", jnp.float32) is False
+    assert driver.select_band(p(1536, 1536), "auto", jnp.int16) is False
+    assert driver.select_band(p(8192, 8192), "auto", jnp.float32) is None
+    assert driver.select_band(p(2048, 2048), "auto", jnp.bfloat16) is None
+    assert driver.select_band(p(1024, 1024), "auto", jnp.float32) is None
+
+
+def test_forced_band():
+    assert driver.select_band(p(2048, 2048), "band", jnp.float32) is True
+    with pytest.raises(ValueError, match="f32/bf16/c16"):
+        driver.select_band(p(2048, 2048), "band", jnp.float64)

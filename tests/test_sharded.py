@@ -337,3 +337,21 @@ def test_collide_form_threads_into_sharded_steps():
         results.append(np.asarray(av))
     # The two forms agree within f32 ulps but are separately compiled.
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["aa", "band", "deep"])
+def test_sharded_rejects_single_device_backends(
+    backend, small_params, small_obstacles
+):
+    """Single-device-only kernels fail loudly under a mesh instead of
+    silently running the jnp step (loud-errors invariant)."""
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    with pytest.raises(ValueError, match="single-device only"):
+        run_simulation_sharded(
+            small_params, small_obstacles, n_devices=2, backend=backend
+        )
+    with pytest.raises(ValueError, match="single-device only"):
+        run_simulation_sharded_2d(
+            small_params, small_obstacles, mesh_shape=(2, 2), backend=backend
+        )
