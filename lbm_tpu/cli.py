@@ -266,14 +266,6 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
-    if mesh_2d is not None and (args.resume or args.checkpoint_every):
-        print(
-            "lbm_tpu: error: checkpoint/resume is not supported on a 2-D mesh "
-            "(use a 1-D --mesh N)",
-            file=sys.stderr,
-        )
-        return 1
-
     tic = time.time()
     if mesh_2d is not None:
         from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
@@ -282,6 +274,12 @@ def main(argv=None) -> int:
             result = run_simulation_sharded_2d(
                 params, obstacles, mesh_shape=mesh_2d, backend=args.backend,
                 dtype=dtype,
+                initial_cells=initial_cells,
+                start_step=start_step,
+                av_vels_prefix=av_prefix,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_path=checkpoint_path if args.checkpoint_every else None,
+                checkpoint_format=args.checkpoint_format,
             )
         except ValueError as e:
             print(f"lbm_tpu: error: {e}", file=sys.stderr)

@@ -25,6 +25,9 @@ def save_checkpoint(path, params: LBMParams, cells, av_vels, step: int) -> None:
     """Atomically write a checkpoint (write temp + rename)."""
     path = os.fspath(path)
     d = os.path.dirname(path) or "."
+    # Mid-run snapshots can precede the first output write (which is what
+    # creates --out-dir), so the parent must be created here.
+    os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
         with os.fdopen(fd, "wb") as f:

@@ -64,7 +64,17 @@ def test_simulation_2d_mesh_threads_backend(small_params, small_obstacles, monke
     assert result.av_vels.shape == (small_params.max_iters,)
 
 
-def test_simulation_2d_mesh_rejects_unsupported_kwargs(small_params, small_obstacles):
+def test_simulation_2d_mesh_checkpoint_kwargs(small_params, small_obstacles,
+                                              tmp_path):
+    """Checkpoint kwargs thread through to the 2-D-mesh runner (round-3
+    parity); unknown kwargs still fail loudly instead of being dropped."""
     sim = Simulation(small_params, small_obstacles)
-    with pytest.raises(ValueError, match="checkpoint_every"):
-        sim.run(mesh=(2, 2), checkpoint_every=10)
+    ckpt = str(tmp_path / "api2d.npz")
+    result = sim.run(mesh=(2, 2), checkpoint_every=3,
+                     checkpoint_path=ckpt)
+    assert result.av_vels.shape == (small_params.max_iters,)
+    import numpy as np
+
+    assert int(np.load(ckpt)["step"]) == small_params.max_iters
+    with pytest.raises(TypeError):
+        sim.run(mesh=(2, 2), not_a_kwarg=1)

@@ -182,15 +182,43 @@ def test_cli_mesh_rejects_debug(tiny_inputs, tmp_path, capsys):
     assert "--debug" in capsys.readouterr().err
 
 
-def test_cli_mesh2d_rejects_resume(tiny_inputs, tmp_path, capsys):
+def test_cli_mesh2d_checkpoint_resume(tiny_inputs, tmp_path):
+    """Checkpoint + resume on a 2-D mesh matches the uninterrupted
+    single-device run (2-D parity with the 1-D path — VERDICT r2 item 4)."""
+    import dataclasses
+
+    import numpy as np
+
+    from lbm_tpu.io import read_obstacles, read_params
+    from lbm_tpu.runtime.checkpoint import save_checkpoint
+    from lbm_tpu.runtime.driver import run_simulation
+
     params, obstacles = tiny_inputs
-    rc = main([params, obstacles, "--mesh", "2x2", "--resume",
-               "--out-dir", str(tmp_path / "o")])
-    assert rc == 1
-    assert "2-D mesh" in capsys.readouterr().err
-    rc = main([params, obstacles, "--mesh", "2x2", "--checkpoint-every", "2",
-               "--out-dir", str(tmp_path / "o")])
-    assert rc == 1
+    out_full = tmp_path / "full"
+    assert main([params, obstacles, "--backend", "reference",
+                 "--out-dir", str(out_full)]) == 0
+
+    # Checkpoints are written while running on the 2-D mesh...
+    ckpt = str(tmp_path / "m2d_ck.npz")
+    assert main([params, obstacles, "--mesh", "2x2", "--backend", "reference",
+                 "--out-dir", str(tmp_path / "m2d"), "--checkpoint-every", "3",
+                 "--checkpoint-path", ckpt]) == 0
+    p = read_params(params)
+    assert int(np.load(ckpt)["step"]) == p.max_iters
+
+    # ...and a mid-run snapshot resumes on the 2-D mesh to the same series.
+    obs = read_obstacles(obstacles, p)
+    r3 = run_simulation(dataclasses.replace(p, max_iters=3), obs,
+                        backend="reference")
+    save_checkpoint(ckpt, p, r3.cells, r3.av_vels, 3)
+    out_r = tmp_path / "resumed2d"
+    assert main([params, obstacles, "--mesh", "2x2", "--backend", "reference",
+                 "--out-dir", str(out_r), "--resume",
+                 "--checkpoint-path", ckpt]) == 0
+    av_full = np.loadtxt(out_full / "av_vels.dat", usecols=[1], ndmin=1)
+    av_res = np.loadtxt(out_r / "av_vels.dat", usecols=[1], ndmin=1)
+    assert len(av_res) == p.max_iters
+    np.testing.assert_allclose(av_full, av_res, rtol=1e-5)
 
 
 def test_cli_f64_pallas_rejected(tiny_inputs, tmp_path, capsys):
