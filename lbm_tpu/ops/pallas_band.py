@@ -243,19 +243,32 @@ def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
 
 
 def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
-             *, interpret=False, paired=None, dev=None):
+             *, panel=None, halo=128, interpret=False, paired=None, dev=None):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
-    the single-step block kernel. Same contract as run_temporal/run_deep."""
+    the single-step block kernel. Same contract as run_temporal/run_deep.
+    ``panel`` (columns per x-panel) selects the panel variant for widths
+    whose full-row configs exceed VMEM."""
     from lbm_tpu.ops import pallas_step as PS
 
     _, ny, nx = cells.shape
     T = depth
-    if not band_supported(ny, nx, block, T, cells.dtype):
+    if panel is not None:
+        if not band_panel_supported(ny, nx, block, T, panel, halo,
+                                    cells.dtype):
+            raise ValueError(
+                f"panel band kernel unsupported: grid {ny}x{nx}, block "
+                f"{block}, depth {T}, panel {panel}, halo {halo}, "
+                f"dtype {cells.dtype.name}"
+            )
+        nob_ext_arr = nobst_ext_panel(nobst, block, T, panel, halo,
+                                      cells.dtype)
+    elif not band_supported(ny, nx, block, T, cells.dtype):
         raise ValueError(
             f"band kernel unsupported: grid {ny}x{nx}, block {block}, "
             f"depth {T}, dtype {cells.dtype.name}"
         )
-    nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
+    else:
+        nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
     owner = jnp.ones((1, 1), jnp.float32)
     if paired is None:
         paired = paired_default()
@@ -265,10 +278,16 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
 
     def body(j, carry):
         cells, tot_u = carry
-        cells, sums = step_band(
-            cells, nob_ext_arr, owner, density, accel, omega, block, T,
-            interpret=interpret, paired=paired, dev=dev,
-        )
+        if panel is not None:
+            cells, sums = step_band_panel(
+                cells, nob_ext_arr, owner, density, accel, omega, block, T,
+                panel, halo, interpret=interpret, paired=paired, dev=dev,
+            )
+        else:
+            cells, sums = step_band(
+                cells, nob_ext_arr, owner, density, accel, omega, block, T,
+                interpret=interpret, paired=paired, dev=dev,
+            )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u
 
@@ -285,6 +304,287 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
             tot_u = tot_u.at[n_iters - rem + r].set(s)
         cells = step.extract(carry)
     return cells, tot_u
+
+
+# --- Panel variant: x-split for widths whose full-row band configs -----------
+# exceed VMEM (8192-wide f32 and beyond). Rows are processed in panels of
+# P columns with an H-column halo on each side, assembled with the row
+# halos into a (B+2T, P+2H) buffer. The garbage-creep argument extends to
+# x unchanged: the x-rolls wrap the BUFFER (wrong data at the panel
+# edges), garbage creeps inward one column per step, and after T <= H
+# steps the central P columns are still computed from genuine data. The
+# global x-periodic boundary costs nothing: panel 0's west halo is the
+# last H columns of the row (modulo col-strip index map), exactly like
+# the y wrap. Redundant compute (B+2T)/B * (P+2H)/P.
+
+
+def band_panel_supported(ny: int, nx: int, block: int, depth: int,
+                         panel: int, halo: int = 128,
+                         dtype=jnp.float32) -> bool:
+    del dtype
+    return (
+        panel % 128 == 0
+        and halo % 128 == 0
+        and nx % panel == 0
+        and panel % halo == 0      # col-strip index maps need H | P
+        and depth <= halo          # garbage creep must not cross the halo
+        and depth % 8 == 0
+        and depth >= 8
+        and block % depth == 0
+        and ny % block == 0
+        and depth <= ny - 2
+    )
+
+
+def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
+                  nw_ref, ne_ref, sw_ref, se_ref, nobst_ref, owner_ref,
+                  out_ref, sums_ref,
+                  *, block: int, nblk: int, depth: int, panel: int,
+                  halo: int, w1a: float, w2a: float, omega: float,
+                  out_dtype, paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    B, T, P, H = block, depth, panel, halo
+    W = B + 2 * T
+    WX = P + 2 * H
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, WX - 1, 1)
+
+    def up_roll(p):
+        return pltpu.roll(p, 1, 0)
+
+    def down_roll(p):
+        return pltpu.roll(p, W - 1, 0)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    nob_mid = nob_all[T : T + B, H : H + P]
+    owner = owner_ref[0, 0]
+    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
+    gate_first = jnp.where(i == 0, 1.0, 0.0)
+    nob_force_owner = nob_all[B + T - 2 : B + T - 1]
+    nob_force_first = nob_all[T - 2 : T - 1]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    sel_owner = (rows_iota == B + T - 2).astype(jnp.float32)
+    sel_first = (rows_iota == T - 2).astype(jnp.float32)
+
+    def force(planes, sel, nob_row, gate, pos):
+        ok = (
+            (planes[3][pos : pos + 1] - w1a > 0.0)
+            & (planes[6][pos : pos + 1] - w2a > 0.0)
+            & (planes[7][pos : pos + 1] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am = sel * (ok * nob_row * gate)
+        return (
+            planes[0],
+            planes[1] + w1a * am,
+            planes[2],
+            planes[3] - w1a * am,
+            planes[4],
+            planes[5] + w2a * am,
+            planes[6] - w2a * am,
+            planes[7] - w2a * am,
+            planes[8] + w2a * am,
+        )
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    def row(top, mid, bot, k):
+        return jnp.concatenate(
+            [load(top[k], k), load(mid[k], k), load(bot[k], k)], axis=1
+        )
+
+    buf = tuple(
+        jnp.concatenate(
+            [
+                row(nw_ref, n_ref, ne_ref, k),
+                row(w_ref, c_ref, e_ref, k),
+                row(sw_ref, s_ref, se_ref, k),
+            ],
+            axis=0,
+        )
+        for k in range(9)
+    )
+
+    def step_body(s, buf):
+        buf = force(buf, sel_owner, nob_force_owner, gate_last, B + T - 2)
+        buf = force(buf, sel_first, nob_force_first, gate_first, T - 2)
+
+        def pull(k):
+            cy, cx = _CYS[k], _CXS[k]
+            p = buf[k]
+            if cy == 1:
+                p = up_roll(p)
+            elif cy == -1:
+                p = down_roll(p)
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
+
+        t = tuple(pull(k) for k in range(9))
+        relaxed, usq = bgk_relax(t, omega, paired=paired)
+        new = tuple(
+            jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
+        )
+        sums_ref[i, j, s] = jnp.sum(
+            nob_mid * jnp.sqrt(usq[T : T + B, H : H + P])
+        )
+        return new
+
+    buf = jax.lax.fori_loop(0, T, step_body, buf)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = buf[k][T : T + B, H : H + P]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+def nobst_ext_panel(nobst, block, depth, panel, halo, dtype=jnp.float32):
+    """(nblk*(B+2T+pad), npan*(P+2H)) stacked per-(i,j) extended masks —
+    BlockSpec (B+2T+pad, P+2H) @ (i, j) slices block (i, j)'s."""
+    ny, nx = nobst.shape
+    nblk, npan = ny // block, nx // panel
+    T, H = depth, halo
+    tile = _sublane_tile(dtype)
+    pad = (-(block + 2 * T)) % tile
+    ridx = {}
+    col_blocks = []
+    for jp in range(npan):
+        c0 = jp * panel
+        cidx = jnp.asarray([(c0 + c) % nx for c in range(-H, panel + H)])
+        rows = []
+        for ib in range(nblk):
+            r0 = ib * block
+            if ib not in ridx:
+                ridx[ib] = jnp.asarray(
+                    [(r0 + r) % ny for r in range(-T, block + T)]
+                )
+            rows.append(nobst[ridx[ib]][:, cidx].astype(dtype))
+            if pad:
+                rows.append(jnp.zeros((pad, panel + 2 * H), dtype))
+        col_blocks.append(jnp.concatenate(rows, axis=0))
+    return jnp.concatenate(col_blocks, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
+                     interpret, dtype_name, paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk, npan = ny // block, nx // panel
+    T, H, P = depth, halo, panel
+    spt = block // T
+    nstrip = ny // T
+    sph = panel // H
+    nstripx = nx // H
+    tile = _sublane_tile(dtype)
+    mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
+    kern = functools.partial(
+        _kernel_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev,
+    )
+
+    def rs_top(i, j):   # row-strip above block i (wraps)
+        return (i * spt - 1) % nstrip
+
+    def rs_bot(i, j):
+        return ((i + 1) * spt) % nstrip
+
+    def cs_left(i, j):  # col-strip left of panel j (wraps)
+        return (j * sph - 1) % nstripx
+
+    def cs_right(i, j):
+        return ((j + 1) * sph) % nstripx
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblk, npan),
+        in_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_top(i, j), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_bot(i, j), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_top(i, j), cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_top(i, j), cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_bot(i, j), cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_bot(i, j), cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, P + 2 * H), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
+                + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
+                * dtype.itemsize
+                + 16 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
+                    block, depth, panel, halo=128,
+                    *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps in one panelled pass."""
+    _, ny, nx = cells.shape
+    call = _make_call_panel(
+        ny, nx, block, depth, panel, halo,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(*([cells] * 9), nob_ext_arr, owner)
+    return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
 
 
 def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
@@ -310,3 +610,43 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
             if vmem <= budget:
                 return (b, t)
     return None
+
+
+def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
+                      halo: int = 128) -> tuple[int, int, int] | None:
+    """(block, depth, panel) for the panel variant, or None. Enumerates
+    fitting configs and picks the lowest redundant-compute ratio
+    ``(1 + 2T/B)(1 + 2H/P)`` — the regime this kernel serves is
+    compute-bound (BENCHMARKS.md round-3 roofline), so redundancy, not
+    traffic, sets the rate; ties break toward deeper T (less traffic).
+    ``LBM_BAND_BLOCK`` / ``LBM_BAND_DEPTH`` / ``LBM_BAND_PANEL``
+    override for sweeps."""
+    ov_b = os.environ.get("LBM_BAND_BLOCK")
+    ov_t = os.environ.get("LBM_BAND_DEPTH")
+    ov_p = os.environ.get("LBM_BAND_PANEL")
+    if ov_b and ov_t and ov_p:
+        b, t, p = int(ov_b), int(ov_t), int(ov_p)
+        ok = band_panel_supported(ny, nx, b, t, p, halo, dtype)
+        return (b, t, p) if ok else None
+    itemsize = jnp.dtype(dtype).itemsize
+    budget = 80 * 1024 * 1024
+    best = None
+    best_key = None
+    for t in (8, 16, 32):
+        for mult in (16, 12, 8, 6, 4):
+            b = t * mult
+            for p in (4096, 2048, 1024):
+                if p >= nx:  # full-width configs are plain pick_config's job
+                    continue
+                if not band_panel_supported(ny, nx, b, t, p, halo, dtype):
+                    continue
+                w, wx = b + 2 * t, p + 2 * halo
+                vmem = (2 * 9 * w * wx * 4
+                        + 2 * 9 * (w * wx + b * p) * itemsize)
+                if vmem > budget:
+                    continue
+                red = (w / b) * (wx / p)
+                key = (red, -t)
+                if best_key is None or key < best_key:
+                    best, best_key = (b, t, p), key
+    return best

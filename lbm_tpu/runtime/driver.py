@@ -182,10 +182,25 @@ _BAND_MIN_NX = 1536
 _BAND_MAX_NX = 8192
 
 
+def band_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
+    """Resolve the band kernel schedule: ``(block, depth, panel)`` with
+    ``panel=None`` for the full-row kernel, a panel width for the x-split
+    variant (widths whose full-row configs exceed VMEM), or None if
+    neither fits."""
+    from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
+
+    cfg = pick_config(params.ny, params.nx, dtype)
+    if cfg is not None:
+        return (*cfg, None)
+    pcfg = pick_config_panel(params.ny, params.nx, dtype)
+    return None if pcfg is None else pcfg
+
+
 def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
-    """Whether to use the band kernel (ops/pallas_band.py): T=16-32 steps
+    """Whether to use the band kernel (ops/pallas_band.py): T=8-32 steps
     per HBM pass via an in-kernel step loop. Returns None or ``interpret``.
-    """
+    Auto claims only full-row configs (panel variant is explicit-only
+    until TPU-probed)."""
     if backend not in ("auto", "band"):
         return None
     if jnp.dtype(dtype) not in (
@@ -200,7 +215,7 @@ def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
     fits = pick_config(params.ny, params.nx, dtype) is not None
     on_tpu = jax.devices()[0].platform == "tpu"
     if backend == "band":
-        if not fits:
+        if band_config(params, dtype) is None:
             raise ValueError(
                 f"grid {params.ny}x{params.nx} unsupported by the band kernel"
             )
@@ -477,11 +492,11 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "paired", "dev"),
+                     "block", "depth", "panel", "paired", "dev"),
     donate_argnums=(0,),
 )
 def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-              interpret, block, depth, paired=True, dev=None):
+              interpret, block, depth, panel=None, paired=True, dev=None):
     # knobs resolved by the caller OUTSIDE jit.
     from lbm_tpu.ops.pallas_band import run_band
 
@@ -490,7 +505,8 @@ def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     nobst = (obstacles == 0).astype(cells.dtype)
     cells, tot_u = run_band(
         cells, nobst, density, accel, omega, n_iters,
-        block, depth, interpret=interpret, paired=paired, dev=dev,
+        block, depth, panel=panel, interpret=interpret, paired=paired,
+        dev=dev,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -676,18 +692,16 @@ def run_simulation(
                 **common,
             )
         if band_interpret is not None:
-            from lbm_tpu.ops.pallas_band import pick_config
-
             b_dtype = (
                 dtype
                 if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
                 else jnp.float32
             )
-            b_block, b_depth = pick_config(params.ny, params.nx, b_dtype)
+            b_block, b_depth, b_panel = band_config(params, b_dtype)
             return _run_band.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=band_interpret, block=b_block, depth=b_depth,
-                dev=dev_tuple, **common,
+                panel=b_panel, dev=dev_tuple, **common,
             )
         if deep_interpret is not None:
             from lbm_tpu.ops.pallas_deep import pick_config

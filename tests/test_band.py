@@ -8,7 +8,13 @@ import pytest
 
 import oracle
 from lbm_tpu.models.d2q9 import LBMParams
-from lbm_tpu.ops.pallas_band import band_supported, pick_config, run_band
+from lbm_tpu.ops.pallas_band import (
+    band_panel_supported,
+    band_supported,
+    pick_config,
+    pick_config_panel,
+    run_band,
+)
 from test_temporal import PARAMS, make_setup, oracle_run
 
 
@@ -64,6 +70,59 @@ def test_band_backend_in_driver():
     np.testing.assert_allclose(band.cells, ref.cells, atol=3e-7)
     # f32 per-step sums are accumulated in a different order inside the
     # band pass; allow the extra reassociation slack.
+    np.testing.assert_allclose(band.av_vels, ref.av_vels, rtol=5e-5)
+
+
+@pytest.mark.parametrize("block,depth", [(16, 8), (32, 8)])
+def test_band_panel_matches_oracle(block, depth):
+    """x-split panel variant: 256-wide grid in two 128-column panels with
+    128-column halos; two fused passes + a block-kernel tail."""
+    steps = depth * 2 + 3
+    params = dataclasses.replace(PARAMS, ny=64, nx=256, max_iters=steps)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        steps, block, depth, panel=128, halo=128, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, steps)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band_panel_supported_and_pick():
+    assert band_panel_supported(64, 256, 32, 8, 128)
+    assert not band_panel_supported(64, 256, 32, 8, 192)   # panel % 128
+    assert not band_panel_supported(64, 256, 32, 8, 128, halo=64)
+    assert not band_panel_supported(64, 384, 32, 8, 256)   # nx % panel
+    # depth creep must stay inside the halo
+    assert not band_panel_supported(1024, 8192, 512, 256, 2048)
+    cfg = pick_config_panel(8192, 8192, jnp.float32)
+    assert cfg is not None
+    b, t, p = cfg
+    assert band_panel_supported(8192, 8192, b, t, p)
+    # full-width configs are pick_config's job, never the panel picker's
+    assert all(pp < 8192 for pp in (p,))
+
+
+def test_band_panel_backend_in_driver(monkeypatch):
+    """Panel route through run_simulation(backend='band') matches the
+    reference backend: the full-row picker is forced to None so
+    band_config falls through to pick_config_panel and the driver
+    threads ``panel`` into _run_band."""
+    import lbm_tpu.ops.pallas_band as PB
+    from lbm_tpu.runtime.driver import band_config, run_simulation
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=256, max_iters=20)
+    _, obstacles = make_setup(params)
+    monkeypatch.setattr(PB, "pick_config", lambda *a, **k: None)
+    monkeypatch.setenv("LBM_BAND_BLOCK", "32")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    assert band_config(params, jnp.float32) == (32, 8, 128)
+    ref = run_simulation(params, obstacles, backend="reference")
+    band = run_simulation(params, obstacles, backend="band")
+    np.testing.assert_allclose(band.cells, ref.cells, atol=3e-7)
     np.testing.assert_allclose(band.av_vels, ref.av_vels, rtol=5e-5)
 
 
