@@ -600,7 +600,11 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
         b, t = int(ov_b), int(ov_t)
         return (b, t) if band_supported(ny, nx, b, t, dtype) else None
     itemsize = jnp.dtype(dtype).itemsize
-    budget = 80 * 1024 * 1024
+    # Relay-toolchain compile ceiling for this kernel shape: 67.5 MB
+    # estimates compile and run (1536^2 B192/T32), 78.8 MB fails with the
+    # HTTP-500 helper error (5120^2 B64/T16, bench_r3_bandpicks.json).
+    # 70 MB keeps every TPU-validated pick and rejects the failing band.
+    budget = 70 * 1024 * 1024
     for t in (32, 16):
         for mult in (8, 6, 4):
             b = t * mult

@@ -51,6 +51,7 @@ _ENV_KEYS = (
     "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
     "LBM_AA_TILE", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
+    "LBM_BAND_PANEL",
 )
 
 
@@ -79,7 +80,7 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile"):
+    for k in ("depth", "block", "tile", "panel"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -107,6 +108,8 @@ def variant_env(v: dict) -> dict:
         env[knob] = str(v["block"])
     if "tile" in v:
         env["LBM_AA_TILE"] = str(v["tile"])
+    if "panel" in v:
+        env["LBM_BAND_PANEL"] = str(v["panel"])
     if "collide" in v:
         env["LBM_COLLIDE"] = v["collide"]
     return env
