@@ -47,8 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
         "temporally-blocked T-steps-per-pass kernel (HBM-bound grids), deep "
         "state-view temporal kernel (T>=8, halo strips read from the input "
         "state), band kernel (fixed-buffer deep blocking, in-kernel T=16-32 "
-        "step loop), jnp reference, auto, or pallas-overlap (sharded runs "
-        "only: in-kernel RDMA halo exchange)",
+        "step loop; with --mesh N, communication-avoiding T-steps-per-"
+        "ppermute sharding), jnp reference, auto, or pallas-overlap (sharded "
+        "runs only: in-kernel RDMA halo exchange)",
     )
     p.add_argument(
         "--precision",

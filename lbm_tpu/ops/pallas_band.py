@@ -587,6 +587,218 @@ def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
     return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
 
 
+# --- Sharded-local variant: the band schedule as a per-shard step ------------
+# (parallel/sharded.py make_sharded_band_step). The shard holds `rows`
+# contiguous global rows starting at r0 = shard_index * rows; its T-row
+# top/bottom halos arrive by ppermute each pass, so — unlike the full-grid
+# kernel — every buffer edge row is GENUINE data and garbage creeps only
+# from the buffer boundary itself. One ppermute pair per T steps replaces
+# the single-step kernel's per-step 3-row exchange: T x fewer ICI
+# collectives (communication-avoiding stencil scheme, TPU-first design).
+#
+# Forcing: the accelerate row (global ny-2, d2q9-bgk.c:252) may land
+# anywhere in a shard's buffer (including the wrapped halo), so instead of
+# the full-grid kernel's two static selectors, the selector compares the
+# buffer rows' GLOBAL indices — (r0 + i*B - T + w) mod ny — against ny-2;
+# r0 rides in as an SMEM scalar. The guard is evaluated elementwise and
+# masked by the selector (identical result on the selected row).
+
+
+def _kernel_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref, out_ref, sums_ref,
+                    *, block: int, depth: int, ny: int, nx: int,
+                    w1a: float, w2a: float, omega: float, out_dtype,
+                    paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    B, T = block, depth
+    W = B + 2 * T
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
+
+    def up_roll(p):
+        return pltpu.roll(p, 1, 0)
+
+    def down_roll(p):
+        return pltpu.roll(p, W - 1, 0)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    nob_mid = nob_all[T : T + B]
+    r0 = r0_ref[0, 0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
+    sel_force = (gl == ny - 2).astype(jnp.float32)
+    nob_force = sel_force * nob_all
+
+    def force(planes):
+        ok = (
+            (planes[3] - w1a > 0.0)
+            & (planes[6] - w2a > 0.0)
+            & (planes[7] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am = ok * nob_force
+        return (
+            planes[0],
+            planes[1] + w1a * am,
+            planes[2],
+            planes[3] - w1a * am,
+            planes[4],
+            planes[5] + w2a * am,
+            planes[6] - w2a * am,
+            planes[7] - w2a * am,
+            planes[8] + w2a * am,
+        )
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    buf = tuple(
+        jnp.concatenate(
+            [load(n_ref[k], k), load(c_ref[k], k), load(s_ref[k], k)],
+            axis=0,
+        )
+        for k in range(9)
+    )
+
+    def step_body(s, buf):
+        buf = force(buf)
+
+        def pull(k):
+            cy, cx = _CYS[k], _CXS[k]
+            p = buf[k]
+            if cy == 1:
+                p = up_roll(p)
+            elif cy == -1:
+                p = down_roll(p)
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
+
+        t = tuple(pull(k) for k in range(9))
+        relaxed, usq = bgk_relax(t, omega, paired=paired)
+        new = tuple(
+            jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
+        )
+        sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
+        return new
+
+    buf = jax.lax.fori_loop(0, T, step_body, buf)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = buf[k][T : T + B]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+def nobst_ext_local(nob_padded, block, depth, dtype=jnp.float32):
+    """Per-block stacked extended masks from an already-halo-exchanged
+    (rows + 2T, nx) local mask (genuine neighbor rows at both ends)."""
+    T = depth
+    rows = nob_padded.shape[0] - 2 * T
+    nblk = rows // block
+    tile = _sublane_tile(dtype)
+    pad = (-(block + 2 * T)) % tile
+    pieces = []
+    for i in range(nblk):
+        pieces.append(
+            nob_padded[i * block : i * block + block + 2 * T].astype(dtype)
+        )
+        if pad:
+            pieces.append(
+                jnp.zeros((pad, nob_padded.shape[1]), dtype)
+            )
+    return jnp.concatenate(pieces, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
+                       interpret, dtype_name, paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = rows // block
+    T = depth
+    tile = _sublane_tile(dtype)
+    mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
+    kern = functools.partial(
+        _kernel_sharded, block=block, depth=T, ny=ny_global, nx=nx,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * (block + 2 * depth) * nx * 4)
+                + 4 * (9 * block * nx * dtype.itemsize)
+                + 16 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
+                      density, accel, omega, block, depth, ny_global,
+                      *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps on one shard's rows in a single fused pass.
+
+    ``n_compact``/``s_compact`` are the per-block T-row neighbor strips
+    (block i's rows come from the previous/next block or, at the shard
+    edges, the ppermuted halos); ``r0`` is the shard's global starting row
+    as a (1, 1) int32. Returns (new_cells, (T,) per-step LOCAL partial
+    sums) — the caller psums across the mesh axis."""
+    _, rows, nx = cells.shape
+    call = _make_call_sharded(
+        rows, nx, ny_global, block, depth,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, n_compact, s_compact, nob_ext_arr, r0)
+    return out, jnp.sum(sums, axis=0)
+
+
 def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
     """(block, depth) for the band kernel, or None: the deepest T in
     {32, 16} with the largest B in {4T..8T} whose working set fits the

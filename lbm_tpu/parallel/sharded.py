@@ -491,7 +491,12 @@ def run_simulation_sharded_2d(
         raise ValueError(
             "pallas-overlap (in-kernel RDMA halo exchange) is 1-D-mesh only"
         )
-    if backend in ("resident", "aa", "temporal", "deep", "band"):
+    if backend == "band":
+        raise ValueError(
+            "band backend is single-device or 1-D-mesh only; use "
+            "--backend auto/pallas/reference with a 2-D mesh"
+        )
+    if backend in ("resident", "aa", "temporal", "deep"):
         raise ValueError(
             f"{backend} backend is single-device only; use --backend "
             "auto/pallas/reference with a 2-D mesh"
@@ -670,6 +675,90 @@ def make_sharded_pallas_step_overlap(interpret: bool = False,
     return step
 
 
+def make_sharded_band_step(block: int, depth: int, ny_global: int,
+                           interpret: bool = False,
+                           paired: bool | None = None, dev=None):
+    """Communication-avoiding per-shard step: T timesteps per call via the
+    band kernel's sharded-local variant (ops/pallas_band.py
+    ``step_band_sharded``) with ONE T-row ppermute pair per pass — T x
+    fewer ICI collectives than the single-step kernel's per-step 3-row
+    exchange, and the per-pass in-VMEM step loop amortizes HBM traffic
+    exactly like the single-device band kernel (2/T + 2/B plane-passes
+    per step).
+
+    Protocol extensions consumed by ``build_sharded_loop``:
+    ``steps_per_call = T`` (the loop advances T av_vels slots per call and
+    runs ``tail_step`` — the single-step fused kernel — for the
+    ``n_iters % T`` remainder, mirroring single-device ``run_band``).
+    ``paired`` resolves at factory time (never under a trace — ADVICE r2).
+    """
+    from lbm_tpu.ops import pallas_band as PBAND
+
+    T = depth
+    paired = paired_default() if paired is None else paired
+
+    def step(cells, nob_ext_arr, density, accel, omega):
+        n = jax.lax.axis_size(AXIS)
+        idx = jax.lax.axis_index(AXIS)
+        rows = cells.shape[1]
+        nblk = rows // block
+        b = block // T
+        fwd = [(j, (j + 1) % n) for j in range(n)]
+        bwd = [(j, (j - 1) % n) for j in range(n)]
+        # halo_dn = previous shard's last T rows; halo_up = next shard's
+        # first T rows (same orientation as _exchange_boundary_slots).
+        halo_dn = jax.lax.ppermute(cells[:, rows - T :], AXIS, fwd)
+        halo_up = jax.lax.ppermute(cells[:, :T], AXIS, bwd)
+        if nblk > 1:
+            strips = cells.reshape(9, rows // T, T, cells.shape[2])
+            n_idx = jnp.asarray([i * b - 1 for i in range(1, nblk)])
+            s_idx = jnp.asarray([(i + 1) * b for i in range(nblk - 1)])
+            n_compact = jnp.concatenate(
+                [halo_dn[:, None], jnp.take(strips, n_idx, axis=1)], axis=1
+            ).reshape(9, nblk * T, cells.shape[2])
+            s_compact = jnp.concatenate(
+                [jnp.take(strips, s_idx, axis=1), halo_up[:, None]], axis=1
+            ).reshape(9, nblk * T, cells.shape[2])
+        else:
+            n_compact, s_compact = halo_dn, halo_up
+        r0 = (idx * rows).astype(jnp.int32).reshape(1, 1)
+        cells, sums = PBAND.step_band_sharded(
+            cells, n_compact, s_compact, nob_ext_arr, r0,
+            density, accel, omega, block, T, ny_global,
+            interpret=interpret, paired=paired, dev=dev,
+        )
+        return cells, jax.lax.psum(sums, AXIS)
+
+    def prepare(obstacles, dtype):
+        if jnp.dtype(dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+            jnp.dtype(jnp.int16),
+        ):
+            dtype = jnp.float32
+        n = jax.lax.axis_size(AXIS)
+        nob = (obstacles == 0).astype(dtype)
+        fwd = [(j, (j + 1) % n) for j in range(n)]
+        bwd = [(j, (j - 1) % n) for j in range(n)]
+        m_dn = jax.lax.ppermute(nob[-T:], AXIS, fwd)
+        m_up = jax.lax.ppermute(nob[:T], AXIS, bwd)
+        padded = jnp.concatenate([m_dn, nob, m_up], axis=0)
+        return PBAND.nobst_ext_local(padded, block, T, dtype)
+
+    def init_state(cells_local):
+        if cells_local.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+            cells_local = cells_local.astype(jnp.float32)
+        return cells_local
+
+    step.prepare = prepare
+    step.init_state = init_state
+    step.extract = lambda state: state
+    step.steps_per_call = T
+    step.tail_step = make_sharded_pallas_step(
+        interpret=interpret, paired=paired, dev=dev
+    )
+    return step
+
+
 def _exchange_boundary_slots(dn, up):
     """Swap the shard-crossing halo slots around the ring.
 
@@ -709,6 +798,12 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
     prepare = getattr(step_fn, "prepare", None)
     init_state = getattr(step_fn, "init_state", None)
     extract = getattr(step_fn, "extract", None)
+    # Multi-step-per-call steps (the band sharded step advances T steps
+    # per call, returning a (T,) per-step sum vector); the n_iters % T
+    # remainder runs on the step's single-step ``tail_step``, mirroring
+    # single-device run_band's block-kernel tail.
+    spc = getattr(step_fn, "steps_per_call", 1)
+    tail_step = getattr(step_fn, "tail_step", None)
 
     def local_loop(cells, obstacles, inv_tot_cells):
         # The mean-velocity series stays f32 under the 16-bit storage modes
@@ -726,16 +821,55 @@ def build_sharded_loop(mesh: Mesh, params: LBMParams, step_fn=None, n_iters=None
         )
         state = init_state(cells) if init_state is not None else cells
 
+        if spc == 1:
+            def body(tt, carry):
+                state, av_vels = carry
+                state, tot_u = step_fn(
+                    state, obstacles_prep, density, accel, omega
+                )
+                av_vels = av_vels.at[tt].set(
+                    (tot_u * inv_tot_cells).astype(av_dtype)
+                )
+                return state, av_vels
+
+            state, av_vels = jax.lax.fori_loop(
+                0, n_iters, body, (state, av_vels)
+            )
+            cells = extract(state) if extract is not None else state
+            return cells.astype(store_dtype), av_vels
+
+        main_calls, tail = divmod(n_iters, spc)
+
         def body(tt, carry):
             state, av_vels = carry
-            state, tot_u = step_fn(state, obstacles_prep, density, accel, omega)
-            av_vels = av_vels.at[tt].set(
-                (tot_u * inv_tot_cells).astype(av_dtype)
+            state, sums = step_fn(state, obstacles_prep, density, accel, omega)
+            av_vels = jax.lax.dynamic_update_slice(
+                av_vels, (sums * inv_tot_cells).astype(av_dtype), (tt * spc,)
             )
             return state, av_vels
 
-        state, av_vels = jax.lax.fori_loop(0, n_iters, body, (state, av_vels))
+        state, av_vels = jax.lax.fori_loop(
+            0, main_calls, body, (state, av_vels)
+        )
         cells = extract(state) if extract is not None else state
+        if tail:
+            t_prep = tail_step.prepare(obstacles, cells.dtype)
+            t_state = tail_step.init_state(cells)
+
+            def tbody(k, carry):
+                t_state, av_vels = carry
+                t_state, tot_u = tail_step(
+                    t_state, t_prep, density, accel, omega
+                )
+                av_vels = av_vels.at[main_calls * spc + k].set(
+                    (tot_u * inv_tot_cells).astype(av_dtype)
+                )
+                return t_state, av_vels
+
+            t_state, av_vels = jax.lax.fori_loop(
+                0, tail, tbody, (t_state, av_vels)
+            )
+            cells = tail_step.extract(t_state)
         return cells.astype(store_dtype), av_vels
 
     shard = P(None, AXIS, None)
@@ -764,12 +898,43 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
     companded-deviation mode, falling back to the decode/step/encode jnp
     wrapper off-TPU.
     """
-    if backend in ("resident", "aa", "temporal", "deep", "band"):
+    if backend in ("resident", "aa", "temporal", "deep"):
         # Single-device-only kernels: fail loudly rather than silently
         # running the jnp step under a mesh (loud-errors invariant).
         raise ValueError(
             f"{backend} backend is single-device only; use --backend "
-            "auto/pallas/pallas-overlap/reference with --mesh"
+            "auto/pallas/pallas-overlap/band/reference with --mesh"
+        )
+    if backend == "band":
+        # Communication-avoiding deep blocking per shard: T steps per
+        # ppermute pair (make_sharded_band_step).
+        from lbm_tpu.ops.pallas_band import pick_config as band_pick
+
+        band_dtype = (
+            jnp.dtype(dtype)
+            if jnp.dtype(dtype) in (
+                jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+                jnp.dtype(jnp.int16),
+            )
+            else None
+        )
+        if band_dtype is None or (
+            jnp.dtype(dtype) == jnp.dtype(jnp.int16) and dev is None
+        ):
+            raise ValueError(
+                "sharded band backend stores f32/bf16/c16 only; use "
+                "--precision f32/bf16/c16"
+            )
+        rows = params.ny // n_shards
+        cfg = band_pick(rows, params.nx, band_dtype)
+        if cfg is None:
+            raise ValueError(
+                f"local grid {rows}x{params.nx} unsupported by the band "
+                "kernel; use --backend pallas or fewer shards"
+            )
+        block, depth = cfg
+        return make_sharded_band_step(
+            block, depth, params.ny, interpret=not on_tpu, dev=dev
         )
     if backend not in ("auto", "pallas", "pallas-overlap"):
         return (

@@ -339,7 +339,7 @@ def test_collide_form_threads_into_sharded_steps():
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
 
 
-@pytest.mark.parametrize("backend", ["aa", "band", "deep"])
+@pytest.mark.parametrize("backend", ["aa", "deep"])
 def test_sharded_rejects_single_device_backends(
     backend, small_params, small_obstacles
 ):
@@ -355,3 +355,74 @@ def test_sharded_rejects_single_device_backends(
         run_simulation_sharded_2d(
             small_params, small_obstacles, mesh_shape=(2, 2), backend=backend
         )
+
+
+def test_sharded_band_rejected_on_2d_mesh(small_params, small_obstacles):
+    """Band is 1-D-mesh capable but not 2-D; the 2-D path says so."""
+    from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
+
+    with pytest.raises(ValueError, match="1-D-mesh"):
+        run_simulation_sharded_2d(
+            small_params, small_obstacles, mesh_shape=(2, 2), backend="band"
+        )
+
+
+def _band_case(ny, nx, iters):
+    from lbm_tpu.models.d2q9 import LBMParams
+
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(7)
+    obstacles = np.zeros((ny, nx), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    obstacles[rng.randint(1, ny - 1, 12), rng.randint(0, nx, 12)] = 1
+    return params, obstacles
+
+
+def test_sharded_band_matches_reference(monkeypatch):
+    """Communication-avoiding sharded band step (T=8 per ppermute pair,
+    2 shards, 2 blocks/shard) + the single-step tail vs the single-device
+    reference backend. iters=19 = two fused passes + a 3-step tail."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    params, obstacles = _band_case(64, 128, 19)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band_forcing_row_wrap(monkeypatch):
+    """4 shards: the forced row ny-2 sits in the LAST shard's interior AND
+    in shard 0's wrapped top halo; the modular global-row selector must
+    force both copies consistently (one fused pass, no tail)."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    params, obstacles = _band_case(128, 128, 8)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band_c16(monkeypatch):
+    """c16 companded storage through the sharded band step tracks the f32
+    sharded band run at the storage format's resolution."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    params, obstacles = _band_case(64, 128, 16)
+    f32 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band"
+    )
+    c16 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band", dtype="c16"
+    )
+    assert c16.cells.dtype == np.float32  # decoded for the caller
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
