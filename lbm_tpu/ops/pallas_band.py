@@ -848,7 +848,12 @@ def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
     budget = 80 * 1024 * 1024
     best = None
     best_key = None
-    for t in (8, 16, 32):
+    # T=8 only by default: T=16 panel shapes (128/256, 16, 1024) fail this
+    # relay toolchain's compile helper outright (HTTP 500,
+    # bench_r3_panel8192.json), while T=8 compiles and wins at 8192^2
+    # (bench_r3_panel8192b.json: f32 9,018 / c16 10,534 vs deep 2,871
+    # in-session). Deeper T is reachable via the env override triple.
+    for t in (8,):
         for mult in (16, 12, 8, 6, 4):
             b = t * mult
             for p in (4096, 2048, 1024):

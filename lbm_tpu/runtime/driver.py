@@ -196,11 +196,17 @@ def band_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
     return None if pcfg is None else pcfg
 
 
+# Panel-variant widths with a relay-validated compile (f32 AND c16 probed
+# at 8192^2, bench_r3_panel8192b.json: panel 9,018/10,534 vs deep 2,871
+# in-session). Other widths' panel shapes are unprobed — explicit-only.
+_BAND_PANEL_AUTO_NX = (8192,)
+
+
 def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the band kernel (ops/pallas_band.py): T=8-32 steps
     per HBM pass via an in-kernel step loop. Returns None or ``interpret``.
-    Auto claims only full-row configs (panel variant is explicit-only
-    until TPU-probed)."""
+    Auto claims full-row configs, plus panel (x-split) configs at the
+    probed widths in ``_BAND_PANEL_AUTO_NX``."""
     if backend not in ("auto", "band"):
         return None
     if jnp.dtype(dtype) not in (
@@ -209,10 +215,13 @@ def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
         if backend == "band":
             raise ValueError("band backend stores f32/bf16/c16 only")
         return None
-    from lbm_tpu.ops.pallas_band import pick_config
+    from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
     from lbm_tpu.ops.pallas_resident import resident_supported
 
-    fits = pick_config(params.ny, params.nx, dtype) is not None
+    fits = pick_config(params.ny, params.nx, dtype) is not None or (
+        params.nx in _BAND_PANEL_AUTO_NX
+        and pick_config_panel(params.ny, params.nx, dtype) is not None
+    )
     on_tpu = jax.devices()[0].platform == "tpu"
     if backend == "band":
         if band_config(params, dtype) is None:

@@ -32,6 +32,13 @@ Example (the round-2 temporal depth study, as one invocation):
         t2:size=8192,iters=100,backend=temporal,depth=2 \
         t4:size=8192,iters=100,backend=temporal,depth=4 \
         blk:size=8192,iters=100,backend=pallas,block=8
+
+Hard-won session rules (bench_r3_panel8192.json failed wholesale):
+put a CHEAP variant first (1024^2 AA) so the ~3-13 min first-fetch
+session warmup is not charged to a big variant; --timeout must exceed
+compile+warmup (>= 1500 for 8192-wide variants — a fired alarm
+mid-handshake poisons the relay session for all later variants); never
+start while another process holds the TPU lease.
 """
 
 from __future__ import annotations

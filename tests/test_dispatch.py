@@ -122,12 +122,17 @@ def test_auto_band_claims_hbm_widths(on_tpu):
     # deep blocking, in-kernel T=16-32 step loop) beats the deep kernel at
     # every width where a config fits VMEM — 1536^2 7,423 vs 6,701 (+70%
     # over the old temporal route), 2048^2 6,825 vs 6,019, 4096^2 10,333
-    # vs 9,943. At 8192-wide no config fits and deep keeps the width.
+    # vs 9,943. At 8192-wide no FULL-ROW config fits but the x-split panel
+    # variant is compile-probed and wins in-session (bench_r3_panel8192b:
+    # f32 9,018 / c16 10,534 vs deep 2,871), so auto claims it there too.
     assert driver.select_band(p(1536, 1536), "auto", jnp.float32) is False
     assert driver.select_band(p(2048, 2048), "auto", jnp.float32) is False
     assert driver.select_band(p(4096, 4096), "auto", jnp.float32) is False
     assert driver.select_band(p(1536, 1536), "auto", jnp.int16) is False
-    assert driver.select_band(p(8192, 8192), "auto", jnp.float32) is None
+    assert driver.select_band(p(8192, 8192), "auto", jnp.float32) is False
+    assert driver.select_band(p(8192, 8192), "auto", jnp.int16) is False
+    # ... but unprobed panel widths stay with deep/temporal in auto.
+    assert driver.select_band(p(5120, 5120), "auto", jnp.float32) is None
     assert driver.select_band(p(2048, 2048), "auto", jnp.bfloat16) is None
     assert driver.select_band(p(1024, 1024), "auto", jnp.float32) is None
 
