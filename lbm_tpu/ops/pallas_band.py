@@ -806,6 +806,13 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
     ``LBM_BAND_BLOCK`` / ``LBM_BAND_DEPTH`` override for sweeps."""
     if nx % 128 != 0:
         return None
+    if os.environ.get("LBM_BAND_PANEL"):
+        # Panel explicitly requested: the full-row picker must defer, or
+        # band_config routes an LBM_BAND_BLOCK/DEPTH override pair to a
+        # full-row config that ignores the panel knob. (This exact bug
+        # invalidated the bench_r3_panelwidths + panel8192 "panel shape
+        # fails" probes — they compiled 147-245 MB FULL-ROW configs.)
+        return None
     ov_b = os.environ.get("LBM_BAND_BLOCK")
     ov_t = os.environ.get("LBM_BAND_DEPTH")
     if ov_b and ov_t:
@@ -848,15 +855,18 @@ def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
     budget = 80 * 1024 * 1024
     best = None
     best_key = None
-    # T=8 only by default: T=16 panel shapes (128/256, 16, 1024) fail this
-    # relay toolchain's compile helper outright (HTTP 500,
-    # bench_r3_panel8192.json), while T=8 compiles and wins at 8192^2
-    # (bench_r3_panel8192b.json: f32 9,018 / c16 10,534 vs deep 2,871
-    # in-session). Deeper T is reachable via the env override triple.
+    panels = (int(ov_p),) if ov_p else (4096, 2048, 1024)
+    # T=8 only by default: the only TPU-validated panel compile is
+    # (128, 8, 2048) at 8192^2 (bench_r3_panel8192b.json: f32 9,018 /
+    # c16 10,534 vs deep 2,871 in-session). NOTE the earlier "T=16 panel
+    # shapes fail the helper" datum was invalidated — those probes hit
+    # the pick_config override-routing bug above and compiled full-row
+    # configs. Deeper T is reachable via the env override triple and is
+    # an open probe, not a known failure.
     for t in (8,):
         for mult in (16, 12, 8, 6, 4):
             b = t * mult
-            for p in (4096, 2048, 1024):
+            for p in panels:
                 if p >= nx:  # full-width configs are plain pick_config's job
                     continue
                 if not band_panel_supported(ny, nx, b, t, p, halo, dtype):

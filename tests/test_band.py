@@ -107,15 +107,15 @@ def test_band_panel_supported_and_pick():
 
 def test_band_panel_backend_in_driver(monkeypatch):
     """Panel route through run_simulation(backend='band') matches the
-    reference backend: the full-row picker is forced to None so
-    band_config falls through to pick_config_panel and the driver
-    threads ``panel`` into _run_band."""
-    import lbm_tpu.ops.pallas_band as PB
+    reference backend. Setting LBM_BAND_PANEL alone must make the
+    full-row picker defer so band_config reaches pick_config_panel —
+    the override-routing bug (full-row claimed the BLOCK/DEPTH pair and
+    silently ignored the panel knob) burned the bench_r3_panelwidths
+    probe session; no monkeypatching of pick_config may be needed."""
     from lbm_tpu.runtime.driver import band_config, run_simulation
 
     params = dataclasses.replace(PARAMS, ny=64, nx=256, max_iters=20)
     _, obstacles = make_setup(params)
-    monkeypatch.setattr(PB, "pick_config", lambda *a, **k: None)
     monkeypatch.setenv("LBM_BAND_BLOCK", "32")
     monkeypatch.setenv("LBM_BAND_DEPTH", "8")
     monkeypatch.setenv("LBM_BAND_PANEL", "128")
@@ -135,3 +135,36 @@ def test_band_rejects_unsupported():
     obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
     with pytest.raises(ValueError, match="band"):
         run_simulation(params, obstacles, backend="band")
+
+
+def test_band_config_override_routing(monkeypatch):
+    """The env-override resolution rules (pinned after the
+    bench_r3_panelwidths session compiled full-row configs while
+    claiming to probe panel shapes):
+
+    - LBM_BAND_PANEL set (alone or with BLOCK/DEPTH): full-row defers,
+      band_config resolves a PANEL config honoring every set knob;
+    - BLOCK/DEPTH without PANEL: full-row override, panel untouched.
+    """
+    from lbm_tpu.runtime.driver import band_config
+
+    big = dataclasses.replace(PARAMS, ny=8192, nx=8192)
+    monkeypatch.setenv("LBM_BAND_BLOCK", "128")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "2048")
+    assert band_config(big, jnp.float32) == (128, 8, 2048)
+
+    monkeypatch.setenv("LBM_BAND_DEPTH", "16")  # deeper-T probe reachable
+    assert band_config(big, jnp.float32) == (128, 16, 2048)
+
+    monkeypatch.delenv("LBM_BAND_BLOCK")
+    monkeypatch.delenv("LBM_BAND_DEPTH")
+    odd = dataclasses.replace(PARAMS, ny=5120, nx=5120)
+    monkeypatch.setenv("LBM_BAND_PANEL", "1280")  # panel-only override
+    assert band_config(odd, jnp.float32) == (128, 8, 1280)
+
+    monkeypatch.delenv("LBM_BAND_PANEL")
+    small = dataclasses.replace(PARAMS, ny=1536, nx=1536)
+    monkeypatch.setenv("LBM_BAND_BLOCK", "128")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "16")
+    assert band_config(small, jnp.float32) == (128, 16, None)
