@@ -799,6 +799,262 @@ def step_band_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
     return out, jnp.sum(sums, axis=0)
 
 
+# --- Sharded panel variant: x-split sharded-local band step ------------------
+# For shard widths whose full-row sharded buffer exceeds VMEM (8192-wide
+# and beyond — the BASELINE weak-scaling config). Combines the panel
+# kernel's (B+2T, P+2H) 3x3 buffer assembly (x halos are LOCAL column
+# strips: the mesh is 1-D over rows, so the x-periodic wrap never leaves
+# the shard) with the sharded kernel's genuine ppermuted T-row y-halos
+# and global-row forcing selector. Garbage creeps only in x (from the
+# panel halo edge); y edges are genuine data, exactly like the full-row
+# sharded kernel.
+
+
+def nobst_ext_local_panel(nob_padded, block, depth, panel, halo,
+                          dtype=jnp.float32):
+    """Per-(block, panel) stacked extended masks from an already
+    halo-exchanged (rows + 2T, nx) local mask — the panel analogue of
+    ``nobst_ext_local`` (rows genuine at both ends, columns wrap)."""
+    T, H = depth, halo
+    rows = nob_padded.shape[0] - 2 * T
+    nx = nob_padded.shape[1]
+    nblk = rows // block
+    tile = _sublane_tile(dtype)
+    pad = (-(block + 2 * T)) % tile
+    col_blocks = []
+    for jp in range(nx // panel):
+        c0 = jp * panel
+        cidx = jnp.asarray([(c0 + c) % nx for c in range(-H, panel + H)])
+        pieces = []
+        for i in range(nblk):
+            pieces.append(
+                nob_padded[i * block : i * block + block + 2 * T][:, cidx]
+                .astype(dtype)
+            )
+            if pad:
+                pieces.append(jnp.zeros((pad, panel + 2 * H), dtype))
+        col_blocks.append(jnp.concatenate(pieces, axis=0))
+    return jnp.concatenate(col_blocks, axis=1)
+
+
+def _kernel_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
+                          nw_ref, ne_ref, sw_ref, se_ref,
+                          nobst_ref, r0_ref, out_ref, sums_ref,
+                          *, block: int, depth: int, panel: int, halo: int,
+                          ny: int, w1a: float, w2a: float, omega: float,
+                          out_dtype, paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    B, T, P, H = block, depth, panel, halo
+    W = B + 2 * T
+    WX = P + 2 * H
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, WX - 1, 1)
+
+    def up_roll(p):
+        return pltpu.roll(p, 1, 0)
+
+    def down_roll(p):
+        return pltpu.roll(p, W - 1, 0)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    nob_mid = nob_all[T : T + B, H : H + P]
+    r0 = r0_ref[0, 0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
+    sel_force = (gl == ny - 2).astype(jnp.float32)
+    nob_force = sel_force * nob_all
+
+    def force(planes):
+        ok = (
+            (planes[3] - w1a > 0.0)
+            & (planes[6] - w2a > 0.0)
+            & (planes[7] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am = ok * nob_force
+        return (
+            planes[0],
+            planes[1] + w1a * am,
+            planes[2],
+            planes[3] - w1a * am,
+            planes[4],
+            planes[5] + w2a * am,
+            planes[6] - w2a * am,
+            planes[7] - w2a * am,
+            planes[8] + w2a * am,
+        )
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    def row(top, mid, bot, k):
+        return jnp.concatenate(
+            [load(top[k], k), load(mid[k], k), load(bot[k], k)], axis=1
+        )
+
+    buf = tuple(
+        jnp.concatenate(
+            [
+                row(nw_ref, n_ref, ne_ref, k),
+                row(w_ref, c_ref, e_ref, k),
+                row(sw_ref, s_ref, se_ref, k),
+            ],
+            axis=0,
+        )
+        for k in range(9)
+    )
+
+    def step_body(s, buf):
+        buf = force(buf)
+
+        def pull(k):
+            cy, cx = _CYS[k], _CXS[k]
+            p = buf[k]
+            if cy == 1:
+                p = up_roll(p)
+            elif cy == -1:
+                p = down_roll(p)
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
+
+        t = tuple(pull(k) for k in range(9))
+        relaxed, usq = bgk_relax(t, omega, paired=paired)
+        new = tuple(
+            jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
+        )
+        sums_ref[i, j, s] = jnp.sum(
+            nob_mid * jnp.sqrt(usq[T : T + B, H : H + P])
+        )
+        return new
+
+    buf = jax.lax.fori_loop(0, T, step_body, buf)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = buf[k][T : T + B, H : H + P]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
+                             w1a, w2a, omega, interpret, dtype_name,
+                             paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = rows // block
+    npan = nx // panel
+    T, H, P = depth, halo, panel
+    nstripx = nx // H
+    sph = panel // H
+    tile = _sublane_tile(dtype)
+    mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
+    kern = functools.partial(
+        _kernel_sharded_panel, block=block, depth=T, panel=P, halo=H,
+        ny=ny_global, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
+        paired=paired, dev=dev,
+    )
+
+    def cs_left(i, j):   # col-strip left of panel j (wraps inside the shard)
+        return (j * sph - 1) % nstripx
+
+    def cs_right(i, j):
+        return ((j + 1) * sph) % nstripx
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblk, npan),
+        in_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, P + 2 * H), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
+                + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
+                * dtype.itemsize
+                + 16 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
+                            density, accel, omega, block, depth, panel,
+                            ny_global, halo=128,
+                            *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps on one shard's rows in a single panelled pass.
+
+    Same contract as ``step_band_sharded`` (compact T-row neighbor strips,
+    r0 SMEM scalar, (T,) local partial sums) with the x axis processed in
+    P-column panels; the w/e/corner views are column strips of the SAME
+    local arrays (x never leaves the shard on a 1-D row mesh)."""
+    _, rows, nx = cells.shape
+    call = _make_call_sharded_panel(
+        rows, nx, ny_global, block, depth, panel, halo,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, n_compact, s_compact, cells, cells,
+                     n_compact, n_compact, s_compact, s_compact,
+                     nob_ext_arr, r0)
+    return out, jnp.sum(sums, axis=(0, 1))
+
+
 def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
     """(block, depth) for the band kernel, or None: the deepest T in
     {32, 16} with the largest B in {4T..8T} whose working set fits the

@@ -677,14 +677,18 @@ def make_sharded_pallas_step_overlap(interpret: bool = False,
 
 def make_sharded_band_step(block: int, depth: int, ny_global: int,
                            interpret: bool = False,
-                           paired: bool | None = None, dev=None):
+                           paired: bool | None = None, dev=None,
+                           panel: int | None = None, halo: int = 128):
     """Communication-avoiding per-shard step: T timesteps per call via the
     band kernel's sharded-local variant (ops/pallas_band.py
     ``step_band_sharded``) with ONE T-row ppermute pair per pass — T x
     fewer ICI collectives than the single-step kernel's per-step 3-row
     exchange, and the per-pass in-VMEM step loop amortizes HBM traffic
     exactly like the single-device band kernel (2/T + 2/B plane-passes
-    per step).
+    per step). With ``panel``, the x axis is processed in P-column panels
+    (``step_band_sharded_panel``) so shard widths whose full-row buffer
+    exceeds VMEM — 8192-wide, the BASELINE weak-scaling config — run the
+    same scheme; x halos stay local (the mesh is 1-D over rows).
 
     Protocol extensions consumed by ``build_sharded_loop``:
     ``steps_per_call = T`` (the loop advances T av_vels slots per call and
@@ -722,11 +726,18 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         else:
             n_compact, s_compact = halo_dn, halo_up
         r0 = (idx * rows).astype(jnp.int32).reshape(1, 1)
-        cells, sums = PBAND.step_band_sharded(
-            cells, n_compact, s_compact, nob_ext_arr, r0,
-            density, accel, omega, block, T, ny_global,
-            interpret=interpret, paired=paired, dev=dev,
-        )
+        if panel is None:
+            cells, sums = PBAND.step_band_sharded(
+                cells, n_compact, s_compact, nob_ext_arr, r0,
+                density, accel, omega, block, T, ny_global,
+                interpret=interpret, paired=paired, dev=dev,
+            )
+        else:
+            cells, sums = PBAND.step_band_sharded_panel(
+                cells, n_compact, s_compact, nob_ext_arr, r0,
+                density, accel, omega, block, T, panel, ny_global, halo,
+                interpret=interpret, paired=paired, dev=dev,
+            )
         return cells, jax.lax.psum(sums, AXIS)
 
     def prepare(obstacles, dtype):
@@ -742,7 +753,10 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         m_dn = jax.lax.ppermute(nob[-T:], AXIS, fwd)
         m_up = jax.lax.ppermute(nob[:T], AXIS, bwd)
         padded = jnp.concatenate([m_dn, nob, m_up], axis=0)
-        return PBAND.nobst_ext_local(padded, block, T, dtype)
+        if panel is None:
+            return PBAND.nobst_ext_local(padded, block, T, dtype)
+        return PBAND.nobst_ext_local_panel(padded, block, T, panel, halo,
+                                           dtype)
 
     def init_state(cells_local):
         if cells_local.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
@@ -925,16 +939,25 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
                 "sharded band backend stores f32/bf16/c16 only; use "
                 "--precision f32/bf16/c16"
             )
+        from lbm_tpu.ops.pallas_band import pick_config_panel as band_pick_panel
+
         rows = params.ny // n_shards
         cfg = band_pick(rows, params.nx, band_dtype)
-        if cfg is None:
+        if cfg is not None:
+            block, depth = cfg
+            return make_sharded_band_step(
+                block, depth, params.ny, interpret=not on_tpu, dev=dev
+            )
+        pcfg = band_pick_panel(rows, params.nx, band_dtype)
+        if pcfg is None:
             raise ValueError(
                 f"local grid {rows}x{params.nx} unsupported by the band "
                 "kernel; use --backend pallas or fewer shards"
             )
-        block, depth = cfg
+        block, depth, panel = pcfg
         return make_sharded_band_step(
-            block, depth, params.ny, interpret=not on_tpu, dev=dev
+            block, depth, params.ny, interpret=not on_tpu, dev=dev,
+            panel=panel,
         )
     if backend not in ("auto", "pallas", "pallas-overlap"):
         return (

@@ -426,3 +426,38 @@ def test_sharded_band_c16(monkeypatch):
     assert c16.cells.dtype == np.float32  # decoded for the caller
     np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
     np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
+
+
+def test_sharded_band_panel_matches_reference(monkeypatch):
+    """x-split sharded band step (panel variant): 256-wide grid in two
+    128-column panels with 128-column local halos, 2 shards, genuine
+    ppermuted y-halos, incl. the single-step tail and the forced row
+    landing in the last shard."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    params, obstacles = _band_case(64, 256, 19)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band_panel_c16(monkeypatch):
+    """c16 companded storage through the sharded panel band step tracks
+    the f32 sharded panel run at the storage format's resolution."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    params, obstacles = _band_case(64, 256, 16)
+    f32 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band"
+    )
+    c16 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band", dtype="c16"
+    )
+    assert c16.cells.dtype == np.float32
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
