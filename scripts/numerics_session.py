@@ -13,6 +13,10 @@ Usage:
 
 PAIR is ``tag:size=N,iters=K,a=<backend[/dtype]>,b=<backend[/dtype]>``
 (dtype defaults to f32; geometry is the walls channel, as ab_session).
+Optional ``block=``/``depth=``/``panel=``/``tile=`` keys set the
+corresponding LBM_BAND_*/LBM_AA_TILE env knobs around BOTH sides of the
+pair (they only affect the kernel backends; the jnp reference ignores
+them) — e.g. ``panel=1024`` forces the band backend's x-split variant.
 Exit code 1 if any pair exceeds ``--rtol`` (default 5e-4 — f32 kernels
 reassociate per-step sums differently, and the relay transfer clips f64
 mantissas, so exact equality is not expected).
@@ -46,6 +50,31 @@ def parse_pair(spec: str) -> dict:
     return out
 
 
+_KNOB_ENV = {
+    "block": "LBM_BAND_BLOCK", "depth": "LBM_BAND_DEPTH",
+    "panel": "LBM_BAND_PANEL", "tile": "LBM_AA_TILE",
+}
+
+
+def apply_knobs(p: dict) -> dict:
+    """Set the kernel-config env knobs named in the pair spec; returns the
+    saved previous values for restore."""
+    saved = {}
+    for key, env in _KNOB_ENV.items():
+        if key in p:
+            saved[env] = os.environ.get(env)
+            os.environ[env] = str(p[key])
+    return saved
+
+
+def restore_knobs(saved: dict) -> None:
+    for env, old in saved.items():
+        if old is None:
+            os.environ.pop(env, None)
+        else:
+            os.environ[env] = old
+
+
 def run_one(size: int, iters: int, spec: str):
     import jax.numpy as jnp
 
@@ -75,8 +104,12 @@ def main() -> int:
     for spec in args.pairs:
         p = parse_pair(spec)
         try:
-            av_a = run_one(p["size"], p["iters"], p["a"])
-            av_b = run_one(p["size"], p["iters"], p["b"])
+            saved = apply_knobs(p)
+            try:
+                av_a = run_one(p["size"], p["iters"], p["a"])
+                av_b = run_one(p["size"], p["iters"], p["b"])
+            finally:
+                restore_knobs(saved)
             rel = np.max(np.abs(av_a - av_b) / np.maximum(np.abs(av_b), 1e-30))
             ok = bool(rel <= args.rtol)
             results["pairs"][p["tag"]] = {
