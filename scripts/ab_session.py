@@ -202,11 +202,18 @@ def main() -> int:
         },
         "variants": {v["tag"]: dict(v) for v in variants},
         "brackets": [],
+        "warmups": {},
         "best": {},
         "errors": {},
     }
     log(f"device: {results['meta']['device']}; {len(variants)} variants, "
         f"{args.brackets} brackets")
+
+    def dump():
+        # After EVERY run, not just bracket ends: a hard external kill
+        # (e.g. the outer `timeout` wrapper) mid-bracket keeps the data.
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
     alive = list(variants)
     for v in list(alive):
@@ -214,14 +221,18 @@ def main() -> int:
             try:
                 t, m = run_variant(v, args.timeout)
                 log(f"warmup {v['tag']}: {t:.3f}s ({m:.0f} MLUPS)")
+                results["warmups"].setdefault(v["tag"], []).append(round(t, 4))
             except Exception as e:  # compile failures are data, not crashes
                 log(f"warmup {v['tag']}: FAILED {type(e).__name__}: {str(e)[:200]}")
                 results["errors"][v["tag"]] = f"{type(e).__name__}: {str(e)[:300]}"
                 alive.remove(v)
                 break
+            finally:
+                dump()
 
     for b in range(args.brackets):
         bracket = {}
+        results["brackets"].append(bracket)
         for v in alive:
             times = []
             for _ in range(args.passes_per_bracket):
@@ -238,9 +249,7 @@ def main() -> int:
                 log(f"b{b} {v['tag']}: {t:.3f}s ({m:.0f} MLUPS)")
             if times:
                 bracket[v["tag"]] = [round(t, 4) for t in times]
-        results["brackets"].append(bracket)
-        with open(args.out, "w") as f:  # incremental: crashes keep data
-            json.dump(results, f, indent=1)
+            dump()
 
     for v in variants:
         ts = [t for b in results["brackets"] for t in b.get(v["tag"], [])]
