@@ -48,7 +48,11 @@ once.
 Arithmetic is f32 regardless of the storage dtype; per-step reductions
 are exact (each cell counted once, same operation order as the other
 kernels). bf16 storage rounds between steps like the block kernel's bf16
-mode. Validated against the jnp oracle in tests/test_aa.py.
+mode; c16 (int16 companded deviations, ops/devspace.py) halves the VMEM
+footprint — doubling the on-chip grid area — decoding after every load
+and encoding before every store (the forcing rows pay one extra encode
+per step vs the streaming kernels' single post-collision encode).
+Validated against the jnp oracle in tests/test_aa.py.
 """
 
 from __future__ import annotations
@@ -77,7 +81,11 @@ _CHUNK_STEPS = 254
 
 def aa_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+    # int16 is the c16 companded-deviation storage (ops/devspace.py): it
+    # halves the VMEM footprint, doubling the grid area that fits on-chip.
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
         return False
     return (
         nx % 128 == 0
@@ -116,7 +124,9 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
             )
         return min(ny, t)
     state = 9 * ny * nx * itemsize
-    mask = ny * nx * 4
+    # 16-bit storage modes carry the mask plane at 16 bits too (0/1 are
+    # exact in bf16; run_aa converts) — it matters at the c16 sizes.
+    mask = ny * nx * (2 if itemsize == 2 else 4)
     budget = min(24 * 1024 * 1024, _TOTAL_VMEM_TARGET - state - mask)
     if budget < 4 * 1024 * 1024:
         # State already beyond this toolchain's compile ceiling (reachable
@@ -139,7 +149,7 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
                *scratch,
                steps: int, ny: int, nx: int, tile: int,
                w1a: float, w2a: float, omega: float, out_dtype,
-               paired: bool = True):
+               paired: bool = True, dev=None):
     planes = scratch[:9]
     sem_in, sem_out = scratch[9], scratch[10]
 
@@ -166,6 +176,27 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
     tiles = [(r0, min(tile, ny - r0)) for r0 in range(0, ny, tile)]
     f32 = jnp.float32
 
+    # Storage codec. ``dev = (bg0..bg8, h)`` selects c16 companded-deviation
+    # storage (ops/devspace.py): decode right after load, encode right
+    # before store, all physics at f32. The slot index is the right codec
+    # key in BOTH AA arrangements: arrangement C stores f*_k at slot
+    # opp(k), and D2Q9 opposite pairs share their weight (kernels.cl:100-107
+    # pairs), so bg[opp(k)] == bg[k] always.
+    if dev is None:
+        def from_store(raw, _k):
+            return raw.astype(f32)
+
+        def to_store(val, _k):
+            return val.astype(out_dtype)
+    else:
+        from lbm_tpu.ops.devspace import decode_value, encode_value
+
+        def from_store(raw, k):
+            return decode_value(raw.astype(f32), dev[9]) + dev[k]
+
+        def to_store(val, k):
+            return encode_value(val - dev[k], dev[9]).astype(out_dtype)
+
     def nob_tile(r0, h):
         """Per-tile not-obstacle plane — sliced from the ref (never the whole
         grid as a value: a full-grid mask would add ~20-32 MB of live vregs
@@ -185,15 +216,18 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
         """state[k] rows [lo, lo+h) with periodic wrap (|lo offset| <= 1)."""
         lo_m = lo % ny
         if lo_m + h <= ny:
-            return state[k, lo_m : lo_m + h].astype(f32)
+            return from_store(state[k, lo_m : lo_m + h], k)
         # Only +-1 offsets occur: exactly one wrapped row.
-        return jnp.concatenate(
-            [state[k, lo_m:ny], state[k, 0 : lo_m + h - ny]], axis=0
-        ).astype(f32)
+        return from_store(
+            jnp.concatenate(
+                [state[k, lo_m:ny], state[k, 0 : lo_m + h - ny]], axis=0
+            ),
+            k,
+        )
 
     def write(k, lo, val):
         """state[k] rows [lo, lo+rows(val)) <- val, periodic wrap as above."""
-        val = val.astype(out_dtype)
+        val = to_store(val, k)
         h = val.shape[0]
         lo_m = lo % ny
         if lo_m + h <= ny:
@@ -205,7 +239,7 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
 
     def row(k, r):
         r = r % ny
-        return state[k, r : r + 1].astype(f32)
+        return from_store(state[k, r : r + 1], k)
 
     def force_mask(f3_row, f6_row, f7_row):
         """Joint positivity mask (kernels.cl:29-32) x not-obstacle x owner."""
@@ -224,14 +258,14 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
         for k, w in ((1, w1a), (3, -w1a), (5, w2a), (6, -w2a), (7, -w2a), (8, w2a)):
             r = (ny - 2 + _CYS[k]) % ny
             delta = shift_x(m, _CXS[k]) * w
-            state[k, r : r + 1] = (row(k, r) + delta).astype(out_dtype)
+            state[k, r : r + 1] = to_store(row(k, r) + delta, k)
 
     def force_odd():
         """Step forcing in C space: plane i lives at slot opp(i), row ny-2."""
         m = force_mask(row(_OPP[3], ny - 2), row(_OPP[6], ny - 2), row(_OPP[7], ny - 2))
         for k, w in ((1, w1a), (3, -w1a), (5, w2a), (6, -w2a), (7, -w2a), (8, w2a)):
             s = _OPP[k]
-            state[s, ny - 2 : ny - 1] = (row(s, ny - 2) + m * w).astype(out_dtype)
+            state[s, ny - 2 : ny - 1] = to_store(row(s, ny - 2) + m * w, s)
 
     def even_step(av_idx):
         """S -> C: local collide, write slot opp(k) <- value traveling k."""
@@ -284,13 +318,14 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_aa_call(ny, nx, steps, w1a, w2a, omega, interpret, dtype_name,
-                  paired=True, tile=None):
+                  paired=True, tile=None, dev=None):
     dtype = jnp.dtype(dtype_name)
     if tile is None:
         tile = _pick_tile(ny, nx, dtype.itemsize)
     kern = functools.partial(
         _aa_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev,
     )
     return pl.pallas_call(
         kern,
@@ -327,14 +362,16 @@ def stream_planes(cells, sign: int = 1):
 
 
 def run_aa(cells, nobst, density, accel, omega, n_iters, *,
-           interpret=False, paired=None, tile=None):
+           interpret=False, paired=None, tile=None, dev=None):
     """Run ``n_iters`` steps with the in-place AA-resident kernel.
 
     Same contract as ``pallas_resident.run_resident``: returns
     ``(final_cells, tot_u_series)`` with the UN-normalized per-step sums.
     ``tile`` overrides the row-tile height (None → ``_pick_tile``, which
     reads ``LBM_AA_TILE``); jitted callers must resolve it outside the
-    trace (see driver._run_aa).
+    trace (see driver._run_aa). ``dev = (bg0..bg8, h)`` enables c16
+    companded int16 storage (ops/devspace.py) — ``cells`` then holds the
+    encoded deviations and VMEM residency reaches ~2x the f32 grid area.
     """
     _, ny, nx = cells.shape
     if not aa_supported(ny, nx, cells.dtype):
@@ -342,11 +379,18 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
             f"grid {ny}x{nx} (dtype {cells.dtype.name}) unsupported by the "
             "AA-resident kernel"
         )
+    if (cells.dtype == jnp.int16) != (dev is not None):
+        raise ValueError("int16 (c16) AA storage requires a dev spec")
     w1a = float(density * accel / 9.0)
     w2a = float(density * accel / 36.0)
     omega = float(omega)
     owner = jnp.ones((1, 1), jnp.float32)
-    nobst = nobst.astype(jnp.float32)
+    # 16-bit storage carries the mask at 16 bits too (0/1 exact in bf16);
+    # the kernel converts tiles to f32 on read either way.
+    mask_dtype = (
+        jnp.bfloat16 if jnp.dtype(cells.dtype).itemsize == 2 else jnp.float32
+    )
+    nobst = nobst.astype(mask_dtype)
     if paired is None:
         paired = paired_default()
 
@@ -360,7 +404,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     if n_full:
         call = _make_aa_call(
             ny, nx, _CHUNK_STEPS, w1a, w2a, omega, interpret,
-            cells.dtype.name, paired, tile,
+            cells.dtype.name, paired, tile, dev,
         )
 
         def body(j, carry):
@@ -375,7 +419,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     if rem:
         call = _make_aa_call(
             ny, nx, rem, w1a, w2a, omega, interpret, cells.dtype.name, paired,
-            tile,
+            tile, dev,
         )
         state, av = call(state, nobst, owner)
         tot_u = jax.lax.dynamic_update_slice(

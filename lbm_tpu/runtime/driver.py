@@ -120,9 +120,11 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     """
     if backend not in ("auto", "aa"):
         return None
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
         if backend == "aa":
-            raise ValueError("aa backend stores f32/bf16 only")
+            raise ValueError("aa backend stores f32/bf16/c16 only")
         return None
     from lbm_tpu.ops.pallas_aa import aa_supported
     from lbm_tpu.ops.pallas_resident import resident_supported
@@ -139,6 +141,12 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     if not (fits and on_tpu):
         return None
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int16):
+        # c16 AA has no relay-validated compile yet (bf16 AA — the other
+        # 16-bit mode — fails this toolchain's compile helper at
+        # nx >= 1280, and the interesting c16 sizes all are): explicit
+        # ``--backend aa`` only until a TPU probe lands.
+        return None
     if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
         # AA beats the bf16 block kernel +53-64% where it compiles
         # (bench_r2_tpu9.json); above the validated size it falls back.
@@ -479,21 +487,21 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "paired", "tile"),
+                     "paired", "tile", "dev"),
     donate_argnums=(0,),
 )
 def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-            interpret, paired=True, tile=None):
+            interpret, paired=True, tile=None, dev=None):
     # tile is resolved by the caller OUTSIDE jit (the LBM_AA_TILE override
     # must key the jit cache, not be read under a trace).
     from lbm_tpu.ops.pallas_aa import run_aa
 
-    if cells.dtype not in (jnp.float32, jnp.bfloat16):
+    if cells.dtype not in (jnp.float32, jnp.bfloat16) and dev is None:
         cells = cells.astype(jnp.float32)
     nobst = (obstacles == 0).astype(jnp.float32)
     cells, tot_u = run_aa(
         cells, nobst, density, accel, omega, n_iters,
-        interpret=interpret, paired=paired, tile=tile,
+        interpret=interpret, paired=paired, tile=tile, dev=dev,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -621,16 +629,16 @@ def run_simulation(
 
         dev_spec = DevSpec.for_params(params.density, params.accel)
         dtype = jnp.int16
-        if backend in ("aa", "resident"):
+        if backend == "resident":
             raise ValueError(
-                f"{backend} backend does not support c16 storage yet "
-                "(use auto/pallas/temporal/deep)"
+                "resident backend does not support c16 storage "
+                "(use auto/pallas/temporal/deep/band/aa)"
             )
     # AA is consulted first: its auto policy claims the value-carry regime
     # (1.4x) and the 40-60 MB single-copy gap (1.75x); the ping-pong
-    # resident kernel keeps the 4-40 MB middle. c16 (int16 storage) runs
-    # the HBM-traffic-bound block/temporal kernels only.
-    aa_interpret = None if dev_spec is not None else select_aa(params, backend, dtype)
+    # resident kernel keeps the 4-40 MB middle. c16 (int16 storage) auto
+    # runs the HBM-traffic-bound kernels; c16 AA is explicit-only.
+    aa_interpret = select_aa(params, backend, dtype)
     resident_interpret = None
     band_interpret = None
     deep_interpret = None
@@ -693,12 +701,16 @@ def run_simulation(
         if aa_interpret is not None:
             from lbm_tpu.ops.pallas_aa import _pick_tile
 
-            a_dtype = dtype if dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+            a_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
             return _run_aa.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
-                **common,
+                dev=dev_tuple, **common,
             )
         if band_interpret is not None:
             b_dtype = (

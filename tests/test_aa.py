@@ -47,6 +47,8 @@ def test_aa_supported():
     assert aa_supported(1536, 1536)  # 85 MB: beyond the ping-pong kernel
     assert not aa_supported(2048, 2048)  # 151 MB f32 > single-copy budget
     assert aa_supported(2048, 2048, jnp.bfloat16)  # 75.5 MB bf16 fits
+    assert aa_supported(2048, 2048, jnp.int16)  # c16: same footprint as bf16
+    assert not aa_supported(2944, 2944, jnp.int16)  # 156 MB > budget
     assert not aa_supported(100, 128)  # misaligned ny
     assert not aa_supported(16, 100)  # misaligned nx
     assert not aa_supported(512, 512, jnp.float64)
@@ -172,6 +174,55 @@ def test_aa_bf16_smoke():
     assert cells.dtype == jnp.bfloat16
     assert np.abs(np.asarray(cells, np.float64) - want).max() < 0.03 * scale
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=0.03)
+
+
+@pytest.mark.parametrize("iters", [2, 3])
+def test_aa_c16_matches_oracle(iters):
+    """c16 storage (int16 companded deviations): decode-after-load /
+    encode-before-store around f32 physics. Agreement with the f64 oracle
+    is at the companding resolution (~1e-5 of scale per step here), far
+    inside the golden gate's 1%; both step parities exit correctly."""
+    from lbm_tpu.ops.devspace import DevSpec, decode_state, encode_state
+
+    params = PARAMS
+    state, obstacles = make_setup(params)
+    spec = DevSpec.for_params(params.density, params.accel)
+    dev = (*spec.bg, spec.h)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_aa(
+        encode_state(jnp.asarray(state), spec), nobst,
+        params.density, params.accel, params.omega, iters,
+        interpret=True, dev=dev,
+    )
+    assert cells.dtype == jnp.int16
+    decoded = np.asarray(decode_state(cells, spec))
+    want, want_tot = oracle_run(state, obstacles, params, iters)
+    scale = np.abs(want).max()
+    assert np.abs(decoded - want).max() < 1e-3 * scale
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-3)
+
+
+def test_aa_c16_requires_dev():
+    state, obstacles = make_setup(PARAMS)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    with pytest.raises(ValueError, match="dev spec"):
+        run_aa(
+            jnp.zeros((9, PARAMS.ny, PARAMS.nx), jnp.int16), nobst,
+            PARAMS.density, PARAMS.accel, PARAMS.omega, 2, interpret=True,
+        )
+
+
+def test_aa_c16_driver_matches_reference_c16():
+    """--precision c16 --backend aa through the driver: agrees with the
+    reference c16 path (same storage resolution, different rounding points:
+    AA re-encodes its forcing rows) and returns decoded f32 state."""
+    params = dataclasses.replace(PARAMS, max_iters=4)
+    _, obstacles = make_setup(params)
+    ref = run_simulation(params, obstacles, backend="reference", dtype="c16")
+    res = run_simulation(params, obstacles, backend="aa", dtype="c16")
+    scale = np.abs(ref.cells).max()
+    assert np.abs(res.cells - ref.cells).max() < 1e-3 * scale
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-3)
 
 
 def test_aa_tile_override_validated(monkeypatch):

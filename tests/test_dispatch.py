@@ -60,6 +60,15 @@ def test_auto_beyond_aa_ceiling_uses_temporal(on_tpu):
     assert driver.select_temporal(p(1536, 1536), "auto", jnp.float32) is False
 
 
+def test_c16_aa_explicit_only(on_tpu):
+    # c16 (int16) AA has no relay-validated compile yet: auto never picks
+    # it, but --backend aa accepts it at any supported size (2048^2 c16 =
+    # 75.5 MB fits the single-copy budget).
+    assert driver.select_aa(p(1024, 1024), "auto", jnp.int16) is None
+    assert driver.select_aa(p(2048, 2048), "auto", jnp.int16) is None
+    assert driver.select_aa(p(2048, 2048), "aa", jnp.int16) is False
+
+
 def test_auto_bf16_aa_small_only(on_tpu):
     # bf16 AA wins +53-64% at validated sizes (<= 20 MB states); larger
     # bf16 states crash this toolchain's compile helper -> block kernel.
