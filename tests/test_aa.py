@@ -153,6 +153,26 @@ def test_aa_resume_reproduces_uninterrupted_run():
     np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=0, atol=0)
 
 
+def test_aa_c16_resume_reproduces_uninterrupted_run():
+    """c16 checkpoints store decoded f32 and resume re-encodes; since
+    encode(decode(q)) == q exactly, stop-at-k + resume stays bit-identical
+    to an uninterrupted c16 run."""
+    params = dataclasses.replace(PARAMS, max_iters=12)
+    _, obstacles = make_setup(params, seed=5)
+    full = run_simulation(params, obstacles, backend="aa", dtype="c16")
+    first5 = run_simulation(
+        dataclasses.replace(params, max_iters=5), obstacles, backend="aa",
+        dtype="c16",
+    )
+    resumed = run_simulation(
+        params, obstacles, backend="aa", dtype="c16",
+        initial_cells=first5.cells, start_step=5,
+        av_vels_prefix=first5.av_vels,
+    )
+    np.testing.assert_allclose(resumed.cells, full.cells, rtol=0, atol=0)
+    np.testing.assert_allclose(resumed.av_vels, full.av_vels, rtol=0, atol=0)
+
+
 def test_aa_rejects_unsupported():
     params = dataclasses.replace(PARAMS, nx=100)
     with pytest.raises(ValueError, match="unsupported"):
