@@ -125,10 +125,11 @@ def test_c16_auto_cpu_runs_reference_wrapper():
 
 
 def test_c16_rejected_backends():
+    # resident (ping-pong) is the one kernel without a c16 storage path;
+    # aa grew one in round 3 (see tests/test_aa.py::test_aa_c16_*).
     p, obs = _small(iters=2)
-    for backend in ("aa", "resident"):
-        with pytest.raises(ValueError, match="c16"):
-            run_simulation(p, obs, backend=backend, dtype="c16")
+    with pytest.raises(ValueError, match="c16"):
+        run_simulation(p, obs, backend="resident", dtype="c16")
 
 
 def test_c16_checkpoint_stores_decoded_f32(tmp_path):
