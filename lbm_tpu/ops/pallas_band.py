@@ -49,6 +49,74 @@ _CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
 _OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
 
 
+def rowforce_default() -> bool:
+    """Row-targeted accelerate-flow (LBM_BAND_ROWFORCE=1): update ONLY the
+    forcing row via a static-offset ``dynamic_update_slice`` instead of a
+    full-buffer masked FMA on 6 planes (the broadcast form costs ~12
+    VPU ops/cell/step at W=96 for a 1-row effect). Whether Mosaic lowers
+    the 1-row update cheaper than the dense FMA is an empirical question —
+    default off until a TPU A/B lands."""
+    return os.environ.get("LBM_BAND_ROWFORCE", "0") == "1"
+
+
+def _make_force(w1a: float, w2a: float, rowforce: bool):
+    """Build the accelerate-flow step (kernels.cl:7-42 semantics): add/sub
+    w1a/w2a on the forcing row where the three donor densities stay
+    positive. ``force(planes, sel, nob_row, gate, pos)`` — ``sel`` is the
+    (W, 1) row-selector mask (broadcast form only), ``pos`` the static
+    buffer row, ``gate`` the traced owner gate (0 or 1)."""
+    if not rowforce:
+
+        def force(planes, sel, nob_row, gate, pos):
+            ok = (
+                (planes[3][pos : pos + 1] - w1a > 0.0)
+                & (planes[6][pos : pos + 1] - w2a > 0.0)
+                & (planes[7][pos : pos + 1] - w2a > 0.0)
+            ).astype(jnp.float32)
+            am = sel * (ok * nob_row * gate)
+            return (
+                planes[0],
+                planes[1] + w1a * am,
+                planes[2],
+                planes[3] - w1a * am,
+                planes[4],
+                planes[5] + w2a * am,
+                planes[6] - w2a * am,
+                planes[7] - w2a * am,
+                planes[8] + w2a * am,
+            )
+
+        return force
+
+    def force(planes, sel, nob_row, gate, pos):
+        del sel
+        ok = (
+            (planes[3][pos : pos + 1] - w1a > 0.0)
+            & (planes[6][pos : pos + 1] - w2a > 0.0)
+            & (planes[7][pos : pos + 1] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am = ok * nob_row * gate  # (1, row width)
+
+        def upd(p, delta):
+            return jax.lax.dynamic_update_slice(
+                p, p[pos : pos + 1] + delta, (pos, 0)
+            )
+
+        return (
+            planes[0],
+            upd(planes[1], w1a * am),
+            planes[2],
+            upd(planes[3], -w1a * am),
+            planes[4],
+            upd(planes[5], w2a * am),
+            upd(planes[6], -w2a * am),
+            upd(planes[7], -w2a * am),
+            upd(planes[8], w2a * am),
+        )
+
+    return force
+
+
 def band_supported(ny: int, nx: int, block: int, depth: int,
                    dtype=jnp.float32) -> bool:
     del dtype
@@ -66,7 +134,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             out_ref, sums_ref,
             *, block: int, nblk: int, depth: int, nx: int,
             w1a: float, w2a: float, omega: float, out_dtype,
-            paired: bool = True, dev=None):
+            paired: bool = True, dev=None, rowforce: bool = False):
     i = pl.program_id(0)
     B, T = block, depth
     W = B + 2 * T
@@ -94,25 +162,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     sel_owner = (rows_iota == B + T - 2).astype(jnp.float32)
     sel_first = (rows_iota == T - 2).astype(jnp.float32)
-
-    def force(planes, sel, nob_row, gate, pos):
-        ok = (
-            (planes[3][pos : pos + 1] - w1a > 0.0)
-            & (planes[6][pos : pos + 1] - w2a > 0.0)
-            & (planes[7][pos : pos + 1] - w2a > 0.0)
-        ).astype(jnp.float32)
-        am = sel * (ok * nob_row * gate)
-        return (
-            planes[0],
-            planes[1] + w1a * am,
-            planes[2],
-            planes[3] - w1a * am,
-            planes[4],
-            planes[5] + w2a * am,
-            planes[6] - w2a * am,
-            planes[7] - w2a * am,
-            planes[8] + w2a * am,
-        )
+    force = _make_force(w1a, w2a, rowforce)
 
     if dev is None:
         load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
@@ -171,7 +221,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-               paired=True, dev=None):
+               paired=True, dev=None, rowforce=False):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -182,7 +232,7 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, depth=T, nx=nx,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev,
+        dev=dev, rowforce=rowforce,
     )
     return pl.pallas_call(
         kern,
@@ -225,7 +275,7 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
 
 
 def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
-              *, interpret=False, paired=None, dev=None):
+              *, interpret=False, paired=None, dev=None, rowforce=None):
     """Advance T timesteps in one pass. Returns (new_cells, sums tuple)."""
     _, ny, nx = cells.shape
     call = _make_call(
@@ -237,13 +287,15 @@ def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
         dev=dev,
+        rowforce=rowforce_default() if rowforce is None else rowforce,
     )
     out, sums = call(cells, cells, cells, nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
 
 
 def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
-             *, panel=None, halo=128, interpret=False, paired=None, dev=None):
+             *, panel=None, halo=128, interpret=False, paired=None, dev=None,
+             rowforce=None):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
     the single-step block kernel. Same contract as run_temporal/run_deep.
     ``panel`` (columns per x-panel) selects the panel variant for widths
@@ -272,6 +324,8 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
     owner = jnp.ones((1, 1), jnp.float32)
     if paired is None:
         paired = paired_default()
+    if rowforce is None:
+        rowforce = rowforce_default()
 
     npasses = n_iters // T
     tot_u = jnp.zeros((n_iters,), jnp.float32)
@@ -282,11 +336,13 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
             cells, sums = step_band_panel(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 panel, halo, interpret=interpret, paired=paired, dev=dev,
+                rowforce=rowforce,
             )
         else:
             cells, sums = step_band(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 interpret=interpret, paired=paired, dev=dev,
+                rowforce=rowforce,
             )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u
@@ -341,7 +397,8 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
                   out_ref, sums_ref,
                   *, block: int, nblk: int, depth: int, panel: int,
                   halo: int, w1a: float, w2a: float, omega: float,
-                  out_dtype, paired: bool = True, dev=None):
+                  out_dtype, paired: bool = True, dev=None,
+                  rowforce: bool = False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     B, T, P, H = block, depth, panel, halo
@@ -371,25 +428,7 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     sel_owner = (rows_iota == B + T - 2).astype(jnp.float32)
     sel_first = (rows_iota == T - 2).astype(jnp.float32)
-
-    def force(planes, sel, nob_row, gate, pos):
-        ok = (
-            (planes[3][pos : pos + 1] - w1a > 0.0)
-            & (planes[6][pos : pos + 1] - w2a > 0.0)
-            & (planes[7][pos : pos + 1] - w2a > 0.0)
-        ).astype(jnp.float32)
-        am = sel * (ok * nob_row * gate)
-        return (
-            planes[0],
-            planes[1] + w1a * am,
-            planes[2],
-            planes[3] - w1a * am,
-            planes[4],
-            planes[5] + w2a * am,
-            planes[6] - w2a * am,
-            planes[7] - w2a * am,
-            planes[8] + w2a * am,
-        )
+    force = _make_force(w1a, w2a, rowforce)
 
     if dev is None:
         load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
@@ -484,7 +523,8 @@ def nobst_ext_panel(nobst, block, depth, panel, halo, dtype=jnp.float32):
 
 @functools.lru_cache(maxsize=None)
 def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
-                     interpret, dtype_name, paired=True, dev=None):
+                     interpret, dtype_name, paired=True, dev=None,
+                     rowforce=False):
     dtype = jnp.dtype(dtype_name)
     nblk, npan = ny // block, nx // panel
     T, H, P = depth, halo, panel
@@ -497,7 +537,7 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     kern = functools.partial(
         _kernel_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev,
+        dev=dev, rowforce=rowforce,
     )
 
     def rs_top(i, j):   # row-strip above block i (wraps)
@@ -570,7 +610,8 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
 
 def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
                     block, depth, panel, halo=128,
-                    *, interpret=False, paired=None, dev=None):
+                    *, interpret=False, paired=None, dev=None,
+                    rowforce=None):
     """Advance T timesteps in one panelled pass."""
     _, ny, nx = cells.shape
     call = _make_call_panel(
@@ -582,6 +623,7 @@ def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
         dev=dev,
+        rowforce=rowforce_default() if rowforce is None else rowforce,
     )
     out, sums = call(*([cells] * 9), nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))

@@ -509,11 +509,12 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "panel", "paired", "dev"),
+                     "block", "depth", "panel", "paired", "dev", "rowforce"),
     donate_argnums=(0,),
 )
 def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-              interpret, block, depth, panel=None, paired=True, dev=None):
+              interpret, block, depth, panel=None, paired=True, dev=None,
+              rowforce=False):
     # knobs resolved by the caller OUTSIDE jit.
     from lbm_tpu.ops.pallas_band import run_band
 
@@ -523,7 +524,7 @@ def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     cells, tot_u = run_band(
         cells, nobst, density, accel, omega, n_iters,
         block, depth, panel=panel, interpret=interpret, paired=paired,
-        dev=dev,
+        dev=dev, rowforce=rowforce,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -713,6 +714,8 @@ def run_simulation(
                 dev=dev_tuple, **common,
             )
         if band_interpret is not None:
+            from lbm_tpu.ops.pallas_band import rowforce_default
+
             b_dtype = (
                 dtype
                 if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
@@ -722,7 +725,9 @@ def run_simulation(
             return _run_band.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=band_interpret, block=b_block, depth=b_depth,
-                panel=b_panel, dev=dev_tuple, **common,
+                panel=b_panel, dev=dev_tuple,
+                rowforce=rowforce_default(),  # resolved OUTSIDE jit
+                **common,
             )
         if deep_interpret is not None:
             from lbm_tpu.ops.pallas_deep import pick_config

@@ -58,7 +58,7 @@ _ENV_KEYS = (
     "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
     "LBM_AA_TILE", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
-    "LBM_BAND_PANEL",
+    "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE",
 )
 
 
@@ -87,7 +87,7 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile", "panel"):
+    for k in ("depth", "block", "tile", "panel", "rowforce"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -119,6 +119,8 @@ def variant_env(v: dict) -> dict:
         env["LBM_BAND_PANEL"] = str(v["panel"])
     if "collide" in v:
         env["LBM_COLLIDE"] = v["collide"]
+    if "rowforce" in v:
+        env["LBM_BAND_ROWFORCE"] = str(v["rowforce"])
     return env
 
 

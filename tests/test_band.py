@@ -49,6 +49,39 @@ def test_band_forcing_from_rest():
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
 
 
+def test_band_rowforce_matches_broadcast_force():
+    """LBM_BAND_ROWFORCE=1 (row-targeted dynamic_update_slice forcing) is
+    numerically identical to the default full-buffer masked-FMA form: the
+    broadcast form adds exactly 0.0 off the forcing row, so both paths
+    produce the same bits on all-positive densities."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=19)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    run = lambda rf: run_band(  # noqa: E731
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        19, 32, 8, interpret=True, rowforce=rf,
+    )
+    cells_b, tot_b = run(False)
+    cells_r, tot_r = run(True)
+    np.testing.assert_array_equal(np.asarray(cells_b), np.asarray(cells_r))
+    np.testing.assert_array_equal(np.asarray(tot_b), np.asarray(tot_r))
+
+
+def test_band_panel_rowforce_matches_oracle():
+    """Panel variant with row-targeted forcing vs the oracle."""
+    steps = 8 * 2 + 1
+    params = dataclasses.replace(PARAMS, ny=64, nx=256, max_iters=steps)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        steps, 16, 8, panel=128, halo=128, interpret=True, rowforce=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, steps)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
 def test_band_supported_and_pick():
     assert band_supported(64, 128, 32, 16)
     assert not band_supported(64, 128, 20, 10)   # depth % 8
