@@ -49,6 +49,18 @@ _CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
 _OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
 
 
+def unroll_default() -> int:
+    """In-kernel step-loop unroll factor (LBM_BAND_UNROLL, default 1).
+    The fori_loop body is uniform, so unrolling by u multiplies the Mosaic
+    program size by u (still bounded, unlike the deep kernel's full-T
+    unroll) and gives the scheduler u independent step bodies to pipeline.
+    Must divide T."""
+    v = int(os.environ.get("LBM_BAND_UNROLL", "1"))
+    if v < 1:
+        raise ValueError(f"LBM_BAND_UNROLL={v}: must be >= 1")
+    return v
+
+
 def rowforce_default() -> bool:
     """Row-targeted accelerate-flow (LBM_BAND_ROWFORCE=1): update ONLY the
     forcing row via a static-offset ``dynamic_update_slice`` instead of a
@@ -134,7 +146,8 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             out_ref, sums_ref,
             *, block: int, nblk: int, depth: int, nx: int,
             w1a: float, w2a: float, omega: float, out_dtype,
-            paired: bool = True, dev=None, rowforce: bool = False):
+            paired: bool = True, dev=None, rowforce: bool = False,
+            unroll: int = 1):
     i = pl.program_id(0)
     B, T = block, depth
     W = B + 2 * T
@@ -207,7 +220,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
         return new
 
-    buf = jax.lax.fori_loop(0, T, step_body, buf)
+    buf = jax.lax.fori_loop(0, T, step_body, buf, unroll=unroll)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value
@@ -221,7 +234,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-               paired=True, dev=None, rowforce=False):
+               paired=True, dev=None, rowforce=False, unroll=1):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -232,7 +245,7 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     kern = functools.partial(
         _kernel, block=block, nblk=nblk, depth=T, nx=nx,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev, rowforce=rowforce,
+        dev=dev, rowforce=rowforce, unroll=unroll,
     )
     return pl.pallas_call(
         kern,
@@ -275,7 +288,8 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
 
 
 def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
-              *, interpret=False, paired=None, dev=None, rowforce=None):
+              *, interpret=False, paired=None, dev=None, rowforce=None,
+              unroll=None):
     """Advance T timesteps in one pass. Returns (new_cells, sums tuple)."""
     _, ny, nx = cells.shape
     call = _make_call(
@@ -288,6 +302,7 @@ def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
         paired=paired_default() if paired is None else paired,
         dev=dev,
         rowforce=rowforce_default() if rowforce is None else rowforce,
+        unroll=unroll_default() if unroll is None else unroll,
     )
     out, sums = call(cells, cells, cells, nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
@@ -295,7 +310,7 @@ def step_band(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
 
 def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
              *, panel=None, halo=128, interpret=False, paired=None, dev=None,
-             rowforce=None):
+             rowforce=None, unroll=None):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
     the single-step block kernel. Same contract as run_temporal/run_deep.
     ``panel`` (columns per x-panel) selects the panel variant for widths
@@ -326,6 +341,8 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
         paired = paired_default()
     if rowforce is None:
         rowforce = rowforce_default()
+    if unroll is None:
+        unroll = unroll_default()
 
     npasses = n_iters // T
     tot_u = jnp.zeros((n_iters,), jnp.float32)
@@ -336,13 +353,13 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
             cells, sums = step_band_panel(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 panel, halo, interpret=interpret, paired=paired, dev=dev,
-                rowforce=rowforce,
+                rowforce=rowforce, unroll=unroll,
             )
         else:
             cells, sums = step_band(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 interpret=interpret, paired=paired, dev=dev,
-                rowforce=rowforce,
+                rowforce=rowforce, unroll=unroll,
             )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u
@@ -398,7 +415,7 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
                   *, block: int, nblk: int, depth: int, panel: int,
                   halo: int, w1a: float, w2a: float, omega: float,
                   out_dtype, paired: bool = True, dev=None,
-                  rowforce: bool = False):
+                  rowforce: bool = False, unroll: int = 1):
     i = pl.program_id(0)
     j = pl.program_id(1)
     B, T, P, H = block, depth, panel, halo
@@ -482,7 +499,7 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
         )
         return new
 
-    buf = jax.lax.fori_loop(0, T, step_body, buf)
+    buf = jax.lax.fori_loop(0, T, step_body, buf, unroll=unroll)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value
@@ -524,7 +541,7 @@ def nobst_ext_panel(nobst, block, depth, panel, halo, dtype=jnp.float32):
 @functools.lru_cache(maxsize=None)
 def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
                      interpret, dtype_name, paired=True, dev=None,
-                     rowforce=False):
+                     rowforce=False, unroll=1):
     dtype = jnp.dtype(dtype_name)
     nblk, npan = ny // block, nx // panel
     T, H, P = depth, halo, panel
@@ -537,7 +554,7 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     kern = functools.partial(
         _kernel_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev, rowforce=rowforce,
+        dev=dev, rowforce=rowforce, unroll=unroll,
     )
 
     def rs_top(i, j):   # row-strip above block i (wraps)
@@ -611,7 +628,7 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
 def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
                     block, depth, panel, halo=128,
                     *, interpret=False, paired=None, dev=None,
-                    rowforce=None):
+                    rowforce=None, unroll=None):
     """Advance T timesteps in one panelled pass."""
     _, ny, nx = cells.shape
     call = _make_call_panel(
@@ -624,6 +641,7 @@ def step_band_panel(cells, nob_ext_arr, owner, density, accel, omega,
         paired=paired_default() if paired is None else paired,
         dev=dev,
         rowforce=rowforce_default() if rowforce is None else rowforce,
+        unroll=unroll_default() if unroll is None else unroll,
     )
     out, sums = call(*([cells] * 9), nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))

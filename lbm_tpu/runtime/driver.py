@@ -509,12 +509,13 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "panel", "paired", "dev", "rowforce"),
+                     "block", "depth", "panel", "paired", "dev", "rowforce",
+                     "unroll"),
     donate_argnums=(0,),
 )
 def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
               interpret, block, depth, panel=None, paired=True, dev=None,
-              rowforce=False):
+              rowforce=False, unroll=1):
     # knobs resolved by the caller OUTSIDE jit.
     from lbm_tpu.ops.pallas_band import run_band
 
@@ -524,7 +525,7 @@ def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     cells, tot_u = run_band(
         cells, nobst, density, accel, omega, n_iters,
         block, depth, panel=panel, interpret=interpret, paired=paired,
-        dev=dev, rowforce=rowforce,
+        dev=dev, rowforce=rowforce, unroll=unroll,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -714,7 +715,9 @@ def run_simulation(
                 dev=dev_tuple, **common,
             )
         if band_interpret is not None:
-            from lbm_tpu.ops.pallas_band import rowforce_default
+            from lbm_tpu.ops.pallas_band import (
+                rowforce_default, unroll_default,
+            )
 
             b_dtype = (
                 dtype
@@ -727,6 +730,7 @@ def run_simulation(
                 interpret=band_interpret, block=b_block, depth=b_depth,
                 panel=b_panel, dev=dev_tuple,
                 rowforce=rowforce_default(),  # resolved OUTSIDE jit
+                unroll=unroll_default(),
                 **common,
             )
         if deep_interpret is not None:

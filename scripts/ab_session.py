@@ -25,6 +25,8 @@ SPEC is ``tag:key=val[,key=val...]`` with keys:
                                   LBM_PALLAS_BLOCK, by backend)
     tile      AA tile height     (env LBM_AA_TILE)
     collide   paired|literal     (env LBM_COLLIDE)
+    rowforce  0|1  row-targeted band forcing (env LBM_BAND_ROWFORCE)
+    unroll    band in-kernel loop unroll     (env LBM_BAND_UNROLL)
     geometry  walls|box|none                              [walls]
 
 Example (the round-2 temporal depth study, as one invocation):
@@ -58,7 +60,7 @@ _ENV_KEYS = (
     "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
     "LBM_AA_TILE", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
-    "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE",
+    "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
 )
 
 
@@ -87,7 +89,7 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile", "panel", "rowforce"):
+    for k in ("depth", "block", "tile", "panel", "rowforce", "unroll"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -121,6 +123,8 @@ def variant_env(v: dict) -> dict:
         env["LBM_COLLIDE"] = v["collide"]
     if "rowforce" in v:
         env["LBM_BAND_ROWFORCE"] = str(v["rowforce"])
+    if "unroll" in v:
+        env["LBM_BAND_UNROLL"] = str(v["unroll"])
     return env
 
 

@@ -67,6 +67,27 @@ def test_band_rowforce_matches_broadcast_force():
     np.testing.assert_array_equal(np.asarray(tot_b), np.asarray(tot_r))
 
 
+def test_band_unroll_matches_default():
+    """LBM_BAND_UNROLL=2 only changes loop scheduling; the unrolled body
+    licenses different FMA fusions, so agreement is ulp-level, not
+    bitwise (measured max diff ~4e-8 on values ~0.045)."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=16)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    run = lambda u: run_band(  # noqa: E731
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        16, 32, 8, interpret=True, unroll=u,
+    )
+    cells_1, tot_1 = run(1)
+    cells_2, tot_2 = run(2)
+    np.testing.assert_allclose(
+        np.asarray(cells_1), np.asarray(cells_2), atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tot_1), np.asarray(tot_2), rtol=1e-5
+    )
+
+
 def test_band_panel_rowforce_matches_oracle():
     """Panel variant with row-targeted forcing vs the oracle."""
     steps = 8 * 2 + 1
