@@ -67,10 +67,6 @@ class Simulation:
         import jax.numpy as jnp
 
         dtype = dtype if dtype is not None else jnp.float32
-        if dtype == "c16" and isinstance(mesh, tuple):
-            raise ValueError(
-                "c16 storage supports single-device and 1-D meshes only"
-            )
         if isinstance(mesh, tuple):
             from lbm_tpu.parallel.sharded import run_simulation_sharded_2d
 

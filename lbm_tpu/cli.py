@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
         "f64 (CPU exactness studies), bf16 (opt-in halved-bandwidth mode "
         "for HBM-bound grids; ~2x faster at >=2048^2, looser accuracy), "
         "c16 (companded 16-bit deviation storage: bf16's bandwidth with "
-        "golden-gate-passing accuracy; single-device or 1-D mesh)",
+        "golden-gate-passing accuracy; single-device or any mesh)",
     )
     p.add_argument(
         "--mesh",
@@ -253,13 +253,6 @@ def main(argv=None) -> int:
     # Unsupported flag combinations fail loudly rather than silently
     # dropping a resumed state or checkpoint schedule (ADVICE r1).
     meshed = mesh_2d is not None or mesh_n > 1
-    if mesh_2d is not None and args.precision == "c16":
-        print(
-            "lbm_tpu: error: --precision c16 supports single-device and "
-            "1-D --mesh N only (not a 2-D mesh)",
-            file=sys.stderr,
-        )
-        return 1
     if meshed and args.debug:
         print(
             "lbm_tpu: error: --debug (per-step report) is not supported with "

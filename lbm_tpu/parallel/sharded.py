@@ -249,6 +249,24 @@ def lbm_step_sharded_2d(cells, obstacles, density, accel, omega, ny_global):
     return new_cells, jax.lax.psum(jax.lax.psum(tot_u_local, AXIS), AXIS_X)
 
 
+def make_sharded_c16_jnp_step_2d(dev, ny_global: int):
+    """c16 jnp per-shard step on a 2-D mesh: decode → jnp 2-D sharded step →
+    encode (mirrors ``make_sharded_c16_jnp_step`` for the 1-D row mesh)."""
+    from lbm_tpu.ops.devspace import DevSpec, decode_state, encode_state
+
+    spec = DevSpec(bg=tuple(dev[:9]), h=float(dev[9]))
+
+    def step(state, obstacles, density, accel, omega):
+        full = decode_state(state, spec)
+        new, tot_u = lbm_step_sharded_2d(
+            full, obstacles, density, accel, omega, ny_global
+        )
+        return encode_state(new, spec), tot_u
+
+    step.is_jnp = True  # pure-jnp: shard_map vma checking stays on
+    return step
+
+
 def _exchange_scalar_pair_x(vals, direction: int):
     """ppermute a tiny stacked array one step around the x-ring."""
     n = jax.lax.axis_size(AXIS_X)
@@ -410,7 +428,13 @@ def build_sharded_loop_2d(mesh: Mesh, params: LBMParams, step_fn=None,
     extract = getattr(step_fn, "extract", None) if step_fn is not None else None
 
     def local_loop(cells, obstacles, inv_tot_cells):
-        av_dtype = jnp.float32 if cells.dtype == jnp.bfloat16 else cells.dtype
+        # f32 av series under the 16-bit storage modes (bf16 and c16/int16),
+        # matching build_sharded_loop and the single-device driver.
+        av_dtype = (
+            cells.dtype
+            if cells.dtype in (jnp.float32, jnp.float64)
+            else jnp.float32
+        )
         store_dtype = cells.dtype
         av_vels = jnp.zeros((n_iters,), dtype=av_dtype)
         obstacles_prep = (
@@ -444,15 +468,15 @@ def build_sharded_loop_2d(mesh: Mesh, params: LBMParams, step_fn=None,
         return cells.astype(store_dtype), av_vels
 
     shard = P(None, AXIS, AXIS_X)
-    # vma checking stays on for the jnp per-shard step; only the pallas_call
-    # step (whose out_shapes carry no vma annotations) opts out (VERDICT r2
-    # item 7).
+    # vma checking stays on for the jnp per-shard steps (including the c16
+    # decode/step/encode wrapper); only the pallas_call step (whose
+    # out_shapes carry no vma annotations) opts out (VERDICT r2 item 7).
     mapped = jax.shard_map(
         local_loop,
         mesh=mesh,
         in_specs=(shard, P(AXIS, AXIS_X), P()),
         out_specs=(shard, P()),
-        check_vma=step_fn is None,
+        check_vma=step_fn is None or getattr(step_fn, "is_jnp", False),
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -478,7 +502,19 @@ def run_simulation_sharded_2d(
     length, the resumable state is gathered to host per snapshot, and
     resume threads ``initial_cells``/``start_step``/``av_vels_prefix``
     back in (closes VERDICT r2 weak item 4 — the 2-D mesh previously
-    rejected these loudly)."""
+    rejected these loudly).
+
+    ``dtype="c16"`` selects companded-deviation storage (ops/devspace.py)
+    via the decode/step/encode jnp per-shard step; checkpoints and the
+    returned state are decoded f32, mirroring the 1-D runner."""
+    dev_spec = None
+    dev_tuple = None
+    if isinstance(dtype, str) and dtype == "c16":
+        from lbm_tpu.ops.devspace import DevSpec
+
+        dev_spec = DevSpec.for_params(params.density, params.accel)
+        dev_tuple = (*dev_spec.bg, dev_spec.h)
+        dtype = jnp.int16
     py, px = mesh_shape
     mesh = make_mesh_2d(py, px)
     if params.ny % py != 0 or params.nx % px != 0:
@@ -501,7 +537,13 @@ def run_simulation_sharded_2d(
             f"{backend} backend is single-device only; use --backend "
             "auto/pallas/reference with a 2-D mesh"
         )
-    if backend in ("auto", "pallas") and dtype == jnp.float32:
+    if dev_tuple is not None:
+        # c16 on a 2-D mesh runs the decode/step/encode jnp per-shard step
+        # (the 2-D fused kernel is f32-only).
+        if backend == "pallas":
+            raise ValueError("2-D-mesh pallas backend is f32-only")
+        step_fn = make_sharded_c16_jnp_step_2d(dev_tuple, params.ny)
+    elif backend in ("auto", "pallas") and dtype == jnp.float32:
         from lbm_tpu.ops.pallas_step import pallas_supported
 
         fits = pallas_supported(params.ny // py, params.nx // px)
@@ -522,11 +564,19 @@ def run_simulation_sharded_2d(
 
     cells_sharding = NamedSharding(mesh, P(None, AXIS, AXIS_X))
     obst_sharding = NamedSharding(mesh, P(AXIS, AXIS_X))
-    host_cells = (
-        D2Q9.initial_state(params, dtype=dtype)
-        if initial_cells is None
-        else jnp.asarray(initial_cells, dtype=dtype)
-    )
+    if dev_spec is not None:
+        from lbm_tpu.ops.devspace import encode_state
+
+        full = (
+            D2Q9.initial_state(params, dtype=jnp.float32)
+            if initial_cells is None
+            else jnp.asarray(initial_cells, dtype=jnp.float32)
+        )
+        host_cells = encode_state(full, dev_spec)
+    elif initial_cells is None:
+        host_cells = D2Q9.initial_state(params, dtype=dtype)
+    else:
+        host_cells = jnp.asarray(initial_cells, dtype=dtype)
     cells = jax.device_put(host_cells, cells_sharding)
     obstacles_dev = jax.device_put(
         jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
@@ -551,6 +601,13 @@ def run_simulation_sharded_2d(
     }
     compile_time = time.perf_counter() - t0
 
+    def as_full(state):
+        if dev_spec is None:
+            return state
+        from lbm_tpu.ops.devspace import decode_state
+
+        return decode_state(state, dev_spec)
+
     elapsed = 0.0
     step = start_step
     for n_chunk in chunk_sizes:
@@ -564,12 +621,12 @@ def run_simulation_sharded_2d(
             from lbm_tpu.runtime.checkpoint import save_checkpoint_as
 
             save_checkpoint_as(
-                checkpoint_path, params, np.asarray(cells),
+                checkpoint_path, params, np.asarray(as_full(cells)),
                 np.concatenate(av_chunks), step, format=checkpoint_format,
             )
 
     return SimulationResult(
-        cells=np.asarray(cells),
+        cells=np.asarray(as_full(cells)),
         av_vels=np.concatenate(av_chunks),
         elapsed=elapsed,
         compile_time=compile_time,

@@ -35,6 +35,10 @@ def test_simulation_mesh_variants(small_params, small_obstacles):
     mesh2d = sim.run(mesh=(2, 2))
     np.testing.assert_allclose(mesh1d.av_vels, single.av_vels, rtol=1e-5)
     np.testing.assert_allclose(mesh2d.av_vels, single.av_vels, rtol=1e-5)
+    # c16 storage works on every mesh shape (2-D added in round 3).
+    mesh2d_c16 = sim.run(mesh=(2, 2), dtype="c16")
+    np.testing.assert_allclose(mesh2d_c16.av_vels, single.av_vels, rtol=2e-3,
+                               atol=1e-9)
 
 
 def test_simulation_shape_mismatch(small_params):
