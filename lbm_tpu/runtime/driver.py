@@ -204,10 +204,17 @@ def band_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
     return None if pcfg is None else pcfg
 
 
-# Panel-variant widths with a relay-validated compile (f32 AND c16 probed
-# at 8192^2, bench_r3_panel8192b.json: panel 9,018/10,534 vs deep 2,871
-# in-session). Other widths' panel shapes are unprobed — explicit-only.
-_BAND_PANEL_AUTO_NX = (8192,)
+# Panel-variant widths with a relay-validated compile. 8192^2: f32 AND
+# c16 probed (bench_r3_panel8192b.json: panel 9,018/10,534 vs deep 2,871
+# in-session). 5120/6144/7168 (the widths whose full-row band configs
+# exceed the compile budget): clean re-probe after the override-routing
+# fix (bench_r3_panelwidths2.json, ~1.4x-throttled session, best-of-2
+# interleaved) — panel vs deep same-session: 5120^2 2,609 vs 2,633
+# (tie), 6144^2 2,763 vs 2,589 (+7%), 7168^2 1,945 vs 1,816 (+7%); the
+# T=16 8192^2 panel shape also compiles (2,949 in-session — the earlier
+# "T16 panel fails" datum is fully retired). Panel >= deep at every
+# probed width, so auto claims them all; other widths stay explicit-only.
+_BAND_PANEL_AUTO_NX = (5120, 6144, 7168, 8192)
 
 
 def select_band(params: LBMParams, backend: str, dtype) -> bool | None:

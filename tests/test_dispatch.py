@@ -140,8 +140,13 @@ def test_auto_band_claims_hbm_widths(on_tpu):
     assert driver.select_band(p(1536, 1536), "auto", jnp.int16) is False
     assert driver.select_band(p(8192, 8192), "auto", jnp.float32) is False
     assert driver.select_band(p(8192, 8192), "auto", jnp.int16) is False
+    # Panel widths re-probed clean (bench_r3_panelwidths2.json): 5120/
+    # 6144/7168 compile and run >= deep same-session — auto claims them.
+    assert driver.select_band(p(5120, 5120), "auto", jnp.float32) is False
+    assert driver.select_band(p(6144, 6144), "auto", jnp.float32) is False
+    assert driver.select_band(p(7168, 7168), "auto", jnp.float32) is False
     # ... but unprobed panel widths stay with deep/temporal in auto.
-    assert driver.select_band(p(5120, 5120), "auto", jnp.float32) is None
+    assert driver.select_band(p(9216, 9216), "auto", jnp.float32) is None
     assert driver.select_band(p(2048, 2048), "auto", jnp.bfloat16) is None
     assert driver.select_band(p(1024, 1024), "auto", jnp.float32) is None
 
