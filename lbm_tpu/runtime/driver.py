@@ -142,10 +142,13 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
         return None
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
     if jnp.dtype(dtype) == jnp.dtype(jnp.int16):
-        # c16 AA has no relay-validated compile yet (bf16 AA — the other
-        # 16-bit mode — fails this toolchain's compile helper at
-        # nx >= 1280, and the interesting c16 sizes all are): explicit
-        # ``--backend aa`` only until a TPU probe lands.
+        # c16 AA probed on TPU (bench_r3_aac16.json): 1024-wide compiles
+        # and runs, but nx >= 1280 fails the relay compile helper exactly
+        # like bf16 AA (the 16-bit packed-store width effect) — so the
+        # interesting sizes (1536^2-2048^2, where c16 residency would
+        # beat the band kernel) are toolchain-blocked. Below 1280 the f32
+        # AA kernel is already resident and faster, so auto never prefers
+        # c16 AA; explicit ``--backend aa`` remains available.
         return None
     if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
         # AA beats the bf16 block kernel +53-64% where it compiles
