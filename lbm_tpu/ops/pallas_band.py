@@ -51,23 +51,47 @@ _OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
 
 def unroll_default() -> int:
     """In-kernel step-loop unroll factor (LBM_BAND_UNROLL, default 1).
-    The fori_loop body is uniform, so unrolling by u multiplies the Mosaic
-    program size by u (still bounded, unlike the deep kernel's full-T
-    unroll) and gives the scheduler u independent step bodies to pipeline.
-    Must divide T."""
+    Unrolling by u multiplies the Mosaic program size by u (still bounded,
+    unlike the deep kernel's full-T unroll) and gives the scheduler u
+    consecutive step bodies to pipeline. Must divide T. Implemented as an
+    outer ``fori_loop`` over T//u with a u-step Python-unrolled body —
+    Pallas TPU's own ``fori_loop(unroll=...)`` supports only 1 or full
+    unroll (probed: NotImplementedError, bench_r3_bandtune.json)."""
     v = int(os.environ.get("LBM_BAND_UNROLL", "1"))
     if v < 1:
         raise ValueError(f"LBM_BAND_UNROLL={v}: must be >= 1")
     return v
 
 
+def _run_steps(T: int, step_body, buf, unroll: int):
+    """T applications of ``step_body(s, buf)`` with partial unrolling:
+    an outer ``fori_loop`` over T//unroll groups of ``unroll`` inlined
+    steps (step index stays exact for the per-step sums writes)."""
+    if unroll <= 1:
+        return jax.lax.fori_loop(0, T, step_body, buf)
+    if T % unroll:
+        raise ValueError(f"unroll={unroll} must divide depth T={T}")
+    if unroll >= T:
+        for s in range(T):
+            buf = step_body(s, buf)
+        return buf
+
+    def group(j, b):
+        for k in range(unroll):
+            b = step_body(j * unroll + k, b)
+        return b
+
+    return jax.lax.fori_loop(0, T // unroll, group, buf)
+
+
 def rowforce_default() -> bool:
     """Row-targeted accelerate-flow (LBM_BAND_ROWFORCE=1): update ONLY the
-    forcing row via a static-offset ``dynamic_update_slice`` instead of a
-    full-buffer masked FMA on 6 planes (the broadcast form costs ~12
-    VPU ops/cell/step at W=96 for a 1-row effect). Whether Mosaic lowers
-    the 1-row update cheaper than the dense FMA is an empirical question —
-    default off until a TPU A/B lands."""
+    forcing row via a static-slice concat (NOT dynamic_update_slice —
+    Mosaic has no TPU lowering for it) instead of a full-buffer masked FMA
+    on 6 planes (the broadcast form costs ~12 VPU ops/cell/step at W=96
+    for a 1-row effect). Whether Mosaic lowers the 1-row concat cheaper
+    than the dense FMA is an empirical question — default off until a TPU
+    A/B lands."""
     return os.environ.get("LBM_BAND_ROWFORCE", "0") == "1"
 
 
@@ -110,8 +134,12 @@ def _make_force(w1a: float, w2a: float, rowforce: bool):
         am = ok * nob_row * gate  # (1, row width)
 
         def upd(p, delta):
-            return jax.lax.dynamic_update_slice(
-                p, p[pos : pos + 1] + delta, (pos, 0)
+            # Static-slice concat, NOT dynamic_update_slice: ``pos`` is a
+            # Python int, and Mosaic has no TPU lowering for
+            # dynamic_update_slice on values (probed — NotImplementedError,
+            # bench_r3_bandtune.json).
+            return jnp.concatenate(
+                [p[:pos], p[pos : pos + 1] + delta, p[pos + 1 :]], axis=0
             )
 
         return (
@@ -220,7 +248,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
         return new
 
-    buf = jax.lax.fori_loop(0, T, step_body, buf, unroll=unroll)
+    buf = _run_steps(T, step_body, buf, unroll)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value
@@ -499,7 +527,7 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
         )
         return new
 
-    buf = jax.lax.fori_loop(0, T, step_body, buf, unroll=unroll)
+    buf = _run_steps(T, step_body, buf, unroll)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value

@@ -61,8 +61,9 @@ def test_auto_beyond_aa_ceiling_uses_temporal(on_tpu):
 
 
 def test_c16_aa_explicit_only(on_tpu):
-    # c16 (int16) AA has no relay-validated compile yet: auto never picks
-    # it, but --backend aa accepts it at any supported size (2048^2 c16 =
+    # c16 (int16) AA probed on TPU (bench_r3_aac16.json): 1024-wide works
+    # but nx >= 1280 fails the relay helper like bf16-AA, so auto never
+    # picks it; --backend aa accepts it at any supported size (2048^2 c16 =
     # 75.5 MB fits the single-copy budget).
     assert driver.select_aa(p(1024, 1024), "auto", jnp.int16) is None
     assert driver.select_aa(p(2048, 2048), "auto", jnp.int16) is None
