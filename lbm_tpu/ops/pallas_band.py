@@ -1144,9 +1144,13 @@ def step_band_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
 
 
 def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
-    """(block, depth) for the band kernel, or None: the deepest T in
-    {32, 16} with the largest B in {4T..8T} whose working set fits the
-    VMEM budget at this width (B >= 4T keeps redundancy <= 1.5x).
+    """(block, depth) for the band kernel, or None: the MINIMUM-redundancy
+    ``(B+2T)/B`` config over T in {32, 16}, B in {4T..8T} that fits the
+    VMEM budget, ties toward deeper T. Probed twice: at 2048^2 f32,
+    (128,16) red 1.25 beats the old deepest-T pick (128,32) red 1.5 by
+    +6.4% (bench_r3_latency.json) and +4.8% (bench_r3_pick1536.json);
+    at 1536^2 the policy's (128,16) ties the old (192,32) red 1.333
+    (-1.2%, within session noise) — the simple rule is kept.
     ``LBM_BAND_BLOCK`` / ``LBM_BAND_DEPTH`` override for sweeps."""
     if nx % 128 != 0:
         return None
@@ -1168,15 +1172,20 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
     # HTTP-500 helper error (5120^2 B64/T16, bench_r3_bandpicks.json).
     # 70 MB keeps every TPU-validated pick and rejects the failing band.
     budget = 70 * 1024 * 1024
+    best = None
+    best_key = None
     for t in (32, 16):
         for mult in (8, 6, 4):
             b = t * mult
             if not band_supported(ny, nx, b, t, dtype):
                 continue
             vmem = (2 * 9 * (b + 2 * t) * nx * 4) + (4 * 9 * b * nx * itemsize)
-            if vmem <= budget:
-                return (b, t)
-    return None
+            if vmem > budget:
+                continue
+            key = ((b + 2 * t) / b, -t)
+            if best_key is None or key < best_key:
+                best, best_key = (b, t), key
+    return best
 
 
 def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,

@@ -107,8 +107,11 @@ def test_band_supported_and_pick():
     assert band_supported(64, 128, 32, 16)
     assert not band_supported(64, 128, 20, 10)   # depth % 8
     assert not band_supported(64, 128, 36, 12)
+    # Min-redundancy policy (bench_r3_latency.json): 1536^2/2048^2 f32 both
+    # resolve to (128, 16), red 1.25 — not the old deepest-T (192/128, 32).
     b, t = pick_config(1536, 1536, jnp.float32)
-    assert t == 32 and b % t == 0 and 1536 % b == 0
+    assert (b, t) == (128, 16) and b % t == 0 and 1536 % b == 0
+    assert pick_config(2048, 2048, jnp.float32) == (128, 16)
     assert pick_config(8, 120) is None
 
 
