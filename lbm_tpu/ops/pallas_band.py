@@ -542,24 +542,21 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
 def nobst_ext_panel(nobst, block, depth, panel, halo, dtype=jnp.float32):
     """(nblk*(B+2T+pad), npan*(P+2H)) stacked per-(i,j) extended masks —
     BlockSpec (B+2T+pad, P+2H) @ (i, j) slices block (i, j)'s."""
+    from lbm_tpu.ops.pallas_temporal import circ_slice
+
     ny, nx = nobst.shape
     nblk, npan = ny // block, nx // panel
     T, H = depth, halo
     tile = _sublane_tile(dtype)
     pad = (-(block + 2 * T)) % tile
-    ridx = {}
     col_blocks = []
     for jp in range(npan):
-        c0 = jp * panel
-        cidx = jnp.asarray([(c0 + c) % nx for c in range(-H, panel + H)])
+        cols = circ_slice(nobst, jp * panel - H, panel + 2 * H, axis=1)
         rows = []
         for ib in range(nblk):
-            r0 = ib * block
-            if ib not in ridx:
-                ridx[ib] = jnp.asarray(
-                    [(r0 + r) % ny for r in range(-T, block + T)]
-                )
-            rows.append(nobst[ridx[ib]][:, cidx].astype(dtype))
+            rows.append(
+                circ_slice(cols, ib * block - T, block + 2 * T).astype(dtype)
+            )
             if pad:
                 rows.append(jnp.zeros((pad, panel + 2 * H), dtype))
         col_blocks.append(jnp.concatenate(rows, axis=0))
@@ -903,6 +900,8 @@ def nobst_ext_local_panel(nob_padded, block, depth, panel, halo,
     """Per-(block, panel) stacked extended masks from an already
     halo-exchanged (rows + 2T, nx) local mask — the panel analogue of
     ``nobst_ext_local`` (rows genuine at both ends, columns wrap)."""
+    from lbm_tpu.ops.pallas_temporal import circ_slice
+
     T, H = depth, halo
     rows = nob_padded.shape[0] - 2 * T
     nx = nob_padded.shape[1]
@@ -911,13 +910,11 @@ def nobst_ext_local_panel(nob_padded, block, depth, panel, halo,
     pad = (-(block + 2 * T)) % tile
     col_blocks = []
     for jp in range(nx // panel):
-        c0 = jp * panel
-        cidx = jnp.asarray([(c0 + c) % nx for c in range(-H, panel + H)])
+        cols = circ_slice(nob_padded, jp * panel - H, panel + 2 * H, axis=1)
         pieces = []
         for i in range(nblk):
             pieces.append(
-                nob_padded[i * block : i * block + block + 2 * T][:, cidx]
-                .astype(dtype)
+                cols[i * block : i * block + block + 2 * T].astype(dtype)
             )
             if pad:
                 pieces.append(jnp.zeros((pad, panel + 2 * H), dtype))

@@ -281,6 +281,26 @@ def make_halos_t(cells, block, depth):
     return top, bot
 
 
+def circ_slice(arr, start: int, length: int, axis: int = 0):
+    """``length`` consecutive elements of ``arr`` along ``axis`` starting at
+    ``start``, wrapping periodically — built from STATIC slices + concat,
+    never a fancy-index gather. (XLA lowers integer-array indexing to a
+    real gather, which the mask builders paid once per chunk call at tens
+    of ns per row-element — the dominant cost of short large-grid runs
+    until the bench_r3_footprint.json session isolated it.)"""
+    n = arr.shape[axis]
+    start %= n
+    if start + length <= n:
+        return jax.lax.slice_in_dim(arr, start, start + length, axis=axis)
+    parts = [jax.lax.slice_in_dim(arr, start, n, axis=axis)]
+    length -= n - start
+    while length > n:  # ranges can exceed one full wrap on tiny grids
+        parts.append(arr)
+        length -= n
+    parts.append(jax.lax.slice_in_dim(arr, 0, length, axis=axis))
+    return jnp.concatenate(parts, axis=axis)
+
+
 def nobst_ext(nobst, block, depth, dtype=jnp.float32):
     """(nblk*(B+2T+pad), nx) stacked per-block masks covering rows
     r0-T..r0+B+T-1 with wrap, plus pad rows per block for sublane alignment —
@@ -293,8 +313,9 @@ def nobst_ext(nobst, block, depth, dtype=jnp.float32):
     rows = []
     for j in range(nblk):
         r0 = j * block
-        idx = [(r0 + r) % ny for r in range(-T, block + T)]
-        rows.append(nobst[jnp.asarray(idx)].astype(dtype))
+        rows.append(
+            circ_slice(nobst, r0 - T, block + 2 * T).astype(dtype)
+        )
         if pad:
             rows.append(jnp.zeros((pad, nx), dtype))
     return jnp.concatenate(rows, axis=0)

@@ -771,14 +771,16 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         halo_dn = jax.lax.ppermute(cells[:, rows - T :], AXIS, fwd)
         halo_up = jax.lax.ppermute(cells[:, :T], AXIS, bwd)
         if nblk > 1:
-            strips = cells.reshape(9, rows // T, T, cells.shape[2])
-            n_idx = jnp.asarray([i * b - 1 for i in range(1, nblk)])
-            s_idx = jnp.asarray([(i + 1) * b for i in range(nblk - 1)])
+            # Strided strip selection via reshape + static slice, NOT a
+            # jnp.take gather (XLA gathers are pathologically slow on TPU;
+            # this runs once per T-step pass). Strip i*b-1 = block i-1's
+            # last sub-strip; strip (i+1)*b = block i+1's first.
+            strips5 = cells.reshape(9, nblk, b, T, cells.shape[2])
             n_compact = jnp.concatenate(
-                [halo_dn[:, None], jnp.take(strips, n_idx, axis=1)], axis=1
+                [halo_dn[:, None], strips5[:, : nblk - 1, b - 1]], axis=1
             ).reshape(9, nblk * T, cells.shape[2])
             s_compact = jnp.concatenate(
-                [jnp.take(strips, s_idx, axis=1), halo_up[:, None]], axis=1
+                [strips5[:, 1:, 0], halo_up[:, None]], axis=1
             ).reshape(9, nblk * T, cells.shape[2])
         else:
             n_compact, s_compact = halo_dn, halo_up
