@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable
 
@@ -207,6 +208,56 @@ def band_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
     return None if pcfg is None else pcfg
 
 
+def slab_config(params: LBMParams, dtype) -> tuple[int, int, int, int] | None:
+    """Resolve the hierarchical slab schedule ``(block, depth, kpasses,
+    sblock)`` (ops/pallas_slab.py) or None. The per-pass (block, depth)
+    come from the band picker (honoring its LBM_BAND_* overrides);
+    ``LBM_SLAB_K`` (passes per slab visit, default 4) and ``LBM_SLAB_S``
+    (slab rows; default the largest divisor of ny, multiple of block,
+    keeping slab cells <= ~4.2M — the fastest measured footprint,
+    bench_r3_widthctl.json) set the hierarchy."""
+    from lbm_tpu.ops.pallas_band import pick_config
+    from lbm_tpu.ops.pallas_slab import slab_supported
+
+    cfg = pick_config(params.ny, params.nx, dtype)
+    if cfg is None:
+        return None
+    block, depth = cfg
+    k = int(os.environ.get("LBM_SLAB_K", "4"))
+    ov_s = os.environ.get("LBM_SLAB_S")
+    if ov_s:
+        s = int(ov_s)
+        ok = slab_supported(params.ny, params.nx, block, depth, k, s, dtype)
+        return (block, depth, k, s) if ok else None
+    target = 4_194_304  # cells per slab (2048^2-equivalent)
+    best = None
+    for s in range(block, params.ny, block):
+        if params.ny % s or s * params.nx > target:
+            continue
+        if slab_supported(params.ny, params.nx, block, depth, k, s, dtype):
+            best = s  # largest fitting sblock
+    return None if best is None else (block, depth, k, best)
+
+
+def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the hierarchical slab kernel (ops/pallas_slab.py).
+    Explicit-only (``--backend slab``) until a TPU A/B lands; returns None
+    or the ``interpret`` flag."""
+    if backend != "slab":
+        return None
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
+        raise ValueError("slab backend stores f32/bf16/c16 only")
+    if slab_config(params, dtype) is None:
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} unsupported by the slab kernel "
+            "(needs a fitting band config plus ny divisible into >1 slabs; "
+            "tune LBM_SLAB_S / LBM_SLAB_K)"
+        )
+    return jax.devices()[0].platform != "tpu"
+
+
 # Panel-variant widths with a relay-validated compile. 8192^2: f32 AND
 # c16 probed (bench_r3_panel8192b.json: panel 9,018/10,534 vs deep 2,871
 # in-session). 5120/6144/7168 (the widths whose full-row band configs
@@ -364,7 +415,7 @@ def select_step_fn(params: LBMParams, backend: str, dtype=jnp.float32) -> tuple[
     only, so f64 routes to the reference step (never a silent downgrade:
     an explicit ``pallas`` + f64 request errors instead).
     """
-    if backend in ("resident", "temporal", "aa", "deep", "band"):
+    if backend in ("resident", "temporal", "aa", "deep", "band", "slab"):
         raise ValueError(f"{backend} backend is handled by its own selector")
     if backend not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -543,6 +594,28 @@ def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth", "kpasses", "sblock", "paired", "dev"),
+    donate_argnums=(0,),
+)
+def _run_slab(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
+              interpret, block, depth, kpasses, sblock, paired=True, dev=None):
+    # knobs resolved by the caller OUTSIDE jit.
+    from lbm_tpu.ops.pallas_slab import run_band_slab
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
+    cells, tot_u = run_band_slab(
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, kpasses, sblock, interpret=interpret, paired=paired,
+        dev=dev,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
                      "block", "depth", "paired", "dev"),
     donate_argnums=(0,),
 )
@@ -651,23 +724,26 @@ def run_simulation(
     # resident kernel keeps the 4-40 MB middle. c16 (int16 storage) auto
     # runs the HBM-traffic-bound kernels; c16 AA is explicit-only.
     aa_interpret = select_aa(params, backend, dtype)
+    slab_interpret = select_slab(params, backend, dtype)  # explicit-only
     resident_interpret = None
     band_interpret = None
     deep_interpret = None
     temporal_interpret = None
-    if aa_interpret is None and dev_spec is None:
+    if aa_interpret is None and slab_interpret is None and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
-    if aa_interpret is None and resident_interpret is None:
+    if (aa_interpret is None and slab_interpret is None
+            and resident_interpret is None):
         band_interpret = select_band(params, backend, dtype)
-    if (aa_interpret is None and resident_interpret is None
-            and band_interpret is None):
+    if (aa_interpret is None and slab_interpret is None
+            and resident_interpret is None and band_interpret is None):
         deep_interpret = select_deep(params, backend, dtype)
-    if (aa_interpret is None and resident_interpret is None
-            and band_interpret is None and deep_interpret is None):
+    if (aa_interpret is None and slab_interpret is None
+            and resident_interpret is None and band_interpret is None
+            and deep_interpret is None):
         temporal_interpret = select_temporal(params, backend, dtype)
-    if (aa_interpret is None and resident_interpret is None
-            and band_interpret is None and deep_interpret is None
-            and temporal_interpret is None):
+    if (aa_interpret is None and slab_interpret is None
+            and resident_interpret is None and band_interpret is None
+            and deep_interpret is None and temporal_interpret is None):
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
         step_fn = None
@@ -723,6 +799,18 @@ def run_simulation(
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
                 dev=dev_tuple, **common,
+            )
+        if slab_interpret is not None:
+            s_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
+            s_block, s_depth, s_k, s_s = slab_config(params, s_dtype)
+            return _run_slab.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=slab_interpret, block=s_block, depth=s_depth,
+                kpasses=s_k, sblock=s_s, dev=dev_tuple, **common,
             )
         if band_interpret is not None:
             from lbm_tpu.ops.pallas_band import (

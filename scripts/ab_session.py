@@ -17,9 +17,10 @@ Usage:
 SPEC is ``tag:key=val[,key=val...]`` with keys:
     size      square grid edge (or nx=/ny= separately)   [required]
     iters     timestep count                              [required]
-    backend   auto|aa|resident|temporal|deep|band|pallas|reference  [auto]
+    backend   auto|aa|resident|temporal|deep|band|slab|pallas|reference [auto]
     dtype     f32|bf16|f64|c16                            [f32]
-    depth/block for deep and band map to LBM_DEEP_*/LBM_BAND_*
+    depth/block for deep, band, and slab map to LBM_DEEP_*/LBM_BAND_*
+    slabk/slabs  slab passes-per-visit / slab rows (LBM_SLAB_K/LBM_SLAB_S)
     depth     temporal depth     (env LBM_TEMPORAL_DEPTH)
     block     block height       (env LBM_TEMPORAL_BLOCK or
                                   LBM_PALLAS_BLOCK, by backend)
@@ -61,6 +62,7 @@ _ENV_KEYS = (
     "LBM_AA_TILE", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
     "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
+    "LBM_SLAB_K", "LBM_SLAB_S",
 )
 
 
@@ -89,7 +91,8 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile", "panel", "rowforce", "unroll"):
+    for k in ("depth", "block", "tile", "panel", "rowforce", "unroll",
+              "slabk", "slabs"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -101,12 +104,14 @@ def variant_env(v: dict) -> dict:
     env = {}
     depth_knob = {
         "deep": "LBM_DEEP_DEPTH", "band": "LBM_BAND_DEPTH",
+        "slab": "LBM_BAND_DEPTH",
     }.get(v["backend"], "LBM_TEMPORAL_DEPTH")
     if "depth" in v:
         env[depth_knob] = str(v["depth"])
     if "block" in v:
         knob = {
             "deep": "LBM_DEEP_BLOCK", "band": "LBM_BAND_BLOCK",
+            "slab": "LBM_BAND_BLOCK",
         }.get(v["backend"])
         if knob is None:
             knob = (
@@ -125,6 +130,10 @@ def variant_env(v: dict) -> dict:
         env["LBM_BAND_ROWFORCE"] = str(v["rowforce"])
     if "unroll" in v:
         env["LBM_BAND_UNROLL"] = str(v["unroll"])
+    if "slabk" in v:
+        env["LBM_SLAB_K"] = str(v["slabk"])
+    if "slabs" in v:
+        env["LBM_SLAB_S"] = str(v["slabs"])
     return env
 
 
