@@ -39,9 +39,31 @@ def sync(x) -> None:
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
+@functools.partial(jax.jit, static_argnames=("ny", "nx"))
+def _unpack_obstacles(packed, ny, nx):
+    # np.packbits bit order: byte b holds cells 8b..8b+7 at bits 7..0.
+    bits = (packed[:, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+    return bits.reshape(-1)[: ny * nx].reshape(ny, nx).astype(jnp.int32)
+
+
+def upload_obstacles(obstacles: np.ndarray) -> jnp.ndarray:
+    """Device int32 obstacle mask, shipped as 1 bit/cell.
+
+    The dense int32 mask is 4 B/cell; on relay-tunneled devices H2D runs at
+    ~110-145 MB/s, so the upload (completing lazily inside the first jitted
+    chunk call) added ~30 ns/cell to every run — the per-run fixed cost
+    isolated by bench_r3_fixedcost.json (2.3 s at 8192^2, misread as a
+    footprint law for several sessions). Packing to bits on host and
+    unpacking in a tiny jitted program cuts the transfer 32x; semantics are
+    unchanged (nonzero = blocked, d2q9-bgk.c:596-631)."""
+    ny, nx = obstacles.shape
+    packed = np.packbits((obstacles != 0).reshape(-1))
+    return _unpack_obstacles(jnp.asarray(packed), ny, nx)
+
+
 @dataclasses.dataclass
 class SimulationResult:
-    cells: np.ndarray  # (9, ny, nx) final state
+    cells: np.ndarray | None  # (9, ny, nx) final state (None: fetch_final=False)
     av_vels: np.ndarray  # (maxIters,) per-step mean |u| over unblocked cells
     elapsed: float  # wall-clock seconds for the compute loop (excl. compile)
     compile_time: float  # seconds spent compiling
@@ -693,6 +715,7 @@ def run_simulation(
     chunk_every: int = 0,
     on_chunk=None,
     device=None,
+    fetch_final: bool = True,
 ) -> SimulationResult:
     """Run steps ``start_step .. params.max_iters`` and return the result.
 
@@ -707,6 +730,11 @@ def run_simulation(
     (ops/devspace.py): half the HBM traffic of f32 with golden-gate-passing
     accuracy (unlike bf16). Runs through the block/temporal kernels;
     checkpoints, chunk callbacks, and the returned state are decoded f32.
+
+    ``fetch_final=False`` skips materializing the final state to host
+    (``result.cells`` is None): on relay-tunneled devices the D2H fetch of
+    a large state runs at ~28 MB/s (21 s at 4096^2 f32 — probe_sync_cost),
+    pure waste for timing sessions that only read ``elapsed``/``av_vels``.
     """
     dev_spec = None
     if isinstance(dtype, str) and dtype == "c16":
@@ -761,7 +789,7 @@ def run_simulation(
         cells = D2Q9.initial_state(params, dtype=dtype)
     else:
         cells = jnp.asarray(initial_cells, dtype=dtype)
-    obstacles_dev = jnp.asarray(np.asarray(obstacles), dtype=jnp.int32)
+    obstacles_dev = upload_obstacles(np.asarray(obstacles))
     if device is not None:
         cells = jax.device_put(cells, device)
         obstacles_dev = jax.device_put(obstacles_dev, device)
@@ -931,8 +959,8 @@ def run_simulation(
                 np.concatenate(av_chunks), step, format=checkpoint_format,
             )
 
-    final_cells = np.asarray(as_full(cells))
-    if dev_spec is not None:
+    final_cells = np.asarray(as_full(cells)) if fetch_final else None
+    if dev_spec is not None and fetch_final:
         from lbm_tpu.ops.devspace import max_abs_deviation
 
         # Saturation check (failure detection): H leaves ~4x headroom over

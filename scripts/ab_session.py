@@ -179,7 +179,10 @@ def run_variant(v: dict, timeout: int = 0):
     try:
         for k, val in variant_env(v).items():
             os.environ[k] = val
-        res = run_simulation(params, obstacles, backend=v["backend"], dtype=dtype)
+        # fetch_final=False: the ~28 MB/s relay D2H fetch of the final state
+        # (85 s per 8192^2 run) is pure waste for timing sessions.
+        res = run_simulation(params, obstacles, backend=v["backend"],
+                             dtype=dtype, fetch_final=False)
     finally:
         if timeout > 0:
             signal.alarm(0)

@@ -205,3 +205,29 @@ def test_f64_routes_to_reference(small_params):
     assert fn is lbm_step_reference and name == "reference"
     with pytest.raises(ValueError, match="f32"):
         select_step_fn(small_params, "pallas", jnp.float64)
+
+
+def test_upload_obstacles_bitpack_roundtrip():
+    """upload_obstacles ships 1 bit/cell (the dense int32 upload was the
+    per-run fixed cost on relay devices, bench_r3_fixedcost.json) and must
+    reproduce the blocked/unblocked semantics exactly — including nonzero
+    values other than 1 and non-multiple-of-8 cell counts."""
+    from lbm_tpu.runtime.driver import upload_obstacles
+
+    rng = np.random.default_rng(7)
+    for ny, nx in ((8, 8), (13, 24), (96, 200)):
+        mask = (rng.random((ny, nx)) < 0.3).astype(np.int32) * 7
+        got = np.asarray(upload_obstacles(mask))
+        assert got.shape == (ny, nx) and got.dtype == np.int32
+        np.testing.assert_array_equal(got, (mask != 0).astype(np.int32))
+
+
+def test_fetch_final_false_skips_state(small_params, small_obstacles):
+    """fetch_final=False returns cells=None with an identical av series
+    (timing sessions skip the slow relay D2H of the final state)."""
+    full = run_simulation(small_params, small_obstacles, backend="reference")
+    slim = run_simulation(
+        small_params, small_obstacles, backend="reference", fetch_final=False
+    )
+    assert slim.cells is None
+    np.testing.assert_array_equal(full.av_vels, slim.av_vels)
