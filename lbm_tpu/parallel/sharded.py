@@ -578,8 +578,13 @@ def run_simulation_sharded_2d(
     else:
         host_cells = jnp.asarray(initial_cells, dtype=dtype)
     cells = jax.device_put(host_cells, cells_sharding)
+    # 1-bit/cell upload + device-side unpack (driver.upload_obstacles):
+    # the dense int32 mask upload was the per-run fixed cost on relay
+    # devices (bench_r3_fixedcost.json).
+    from lbm_tpu.runtime.driver import upload_obstacles
+
     obstacles_dev = jax.device_put(
-        jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
+        upload_obstacles(np.asarray(obstacles)), obst_sharding
     )
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))
     inv_dtype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
@@ -1120,8 +1125,13 @@ def run_simulation_sharded(
     else:
         host_cells = jnp.asarray(initial_cells, dtype=dtype)
     cells = jax.device_put(host_cells, cells_sharding)
+    # 1-bit/cell upload + device-side unpack (driver.upload_obstacles):
+    # the dense int32 mask upload was the per-run fixed cost on relay
+    # devices (bench_r3_fixedcost.json).
+    from lbm_tpu.runtime.driver import upload_obstacles
+
     obstacles_dev = jax.device_put(
-        jnp.asarray(np.asarray(obstacles), dtype=jnp.int32), obst_sharding
+        upload_obstacles(np.asarray(obstacles)), obst_sharding
     )
     tot_cells = int(np.sum(np.asarray(obstacles) == 0))
     inv_dtype = dtype if dtype in (jnp.float32, jnp.float64) else jnp.float32
