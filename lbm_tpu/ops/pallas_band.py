@@ -1206,13 +1206,21 @@ def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
     best = None
     best_key = None
     panels = (int(ov_p),) if ov_p else (4096, 2048, 1024)
-    # T=8 only by default: the only TPU-validated panel compile is
-    # (128, 8, 2048) at 8192^2 (bench_r3_panel8192b.json: f32 9,018 /
-    # c16 10,534 vs deep 2,871 in-session). NOTE the earlier "T=16 panel
-    # shapes fail the helper" datum was invalidated — those probes hit
-    # the pick_config override-routing bug above and compiled full-row
-    # configs. Deeper T is reachable via the env override triple and is
-    # an open probe, not a known failure.
+    # T=8 default; T=16 only at the TPU-validated shape. (128, 16, 2048)
+    # at 8192^2 compiles (bench_r3_panelwidths2.json) and BEATS T8 by a
+    # consistent +2.8% (bench_r3_bigblock.json: 13,602 vs 13,226, all
+    # brackets + warmup) — the deeper pass halves the per-pass fixed work
+    # and its extra redundancy (1.25 vs 1.125) costs less in this
+    # VPU-bound regime. Other widths' T16 panel compiles are UNPROBED on
+    # this toolchain, so they stay T8 (validated-sizes invariant;
+    # override triple for sweeps).
+    if (
+        (ny, nx) == (8192, 8192)
+        and not ov_p
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)  # c16 T16 unprobed
+        and band_panel_supported(ny, nx, 128, 16, 2048, halo, dtype)
+    ):
+        return (128, 16, 2048)
     for t in (8,):
         for mult in (16, 12, 8, 6, 4):
             b = t * mult
