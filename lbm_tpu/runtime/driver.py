@@ -221,8 +221,27 @@ def band_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
     ``panel=None`` for the full-row kernel, a panel width for the x-split
     variant (widths whose full-row configs exceed VMEM), or None if
     neither fits."""
+    import os as _os
+
     from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
 
+    # 4096^2 f32: the panel shape (128, 16, 2048) compiles on this
+    # toolchain and beats the best fitting full-row config (B64T16) by a
+    # consistent +5.9% (bench_r3_panelwide.json: 13,478 vs 12,730, all
+    # brackets + warmup) — B128T16 full-row is compile-blocked at 4096
+    # lanes, so the panel's narrower buffers are the only way to run the
+    # winning block height there. Validated shape only (c16 unprobed);
+    # env overrides still take precedence via the pickers.
+    overridden = any(
+        _os.environ.get(k)
+        for k in ("LBM_BAND_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_PANEL")
+    )
+    if (
+        (params.ny, params.nx) == (4096, 4096)
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and not overridden
+    ):
+        return (128, 16, 2048)
     cfg = pick_config(params.ny, params.nx, dtype)
     if cfg is not None:
         return (*cfg, None)
