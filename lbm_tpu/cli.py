@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         choices=["auto", "pallas", "resident", "aa", "temporal", "deep",
-                 "band", "slab", "reference", "pallas-overlap"],
+                 "band", "band2", "slab", "reference", "pallas-overlap"],
         default="auto",
         help="step implementation: block-streaming Pallas kernel, VMEM-resident "
         "multi-step kernel (grids that fit on-chip), in-place AA-resident "

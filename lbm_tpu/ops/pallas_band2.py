@@ -1,0 +1,322 @@
+"""Ref-resident band kernel: the band schedule with the resident kernel's
+step structure.
+
+Same-size A/Bs isolate a 1.6x per-buffer-cell gap between the VMEM-resident
+kernels (~24k MLUPS, ops/pallas_resident.py / pallas_aa.py) and the band
+kernel (~14.6k, ops/pallas_band.py) that none of traffic, redundancy, row
+width, or invocation count explain (bench_r3_crossover.json; DESIGN.md
+roofline addendum). The structural differences are in the T-step loop body:
+
+  band:      carries 9 whole (W, nx) planes as ``lax.fori_loop`` VALUES,
+             shifts by whole-plane ``pltpu.roll``, applies forcing as
+             full-buffer masked FMAs on 6 planes (x2 occurrences).
+  resident:  state lives in MUTABLE VMEM REFS (ping-pong windows), shifts
+             are absorbed into tile-slice OFFSETS (plus one boundary row
+             concat), forcing touches only the forcing row.
+
+This kernel replays the band garbage-creep schedule (load W = B + 2T rows,
+advance T steps in-kernel, store the central B rows; garbage creeps one row
+per step inward from the buffer edges and never reaches the middle —
+pallas_band.py:173's argument verbatim) with the resident body: two VMEM
+scratch buffers ping-ponged by a ``fori_loop`` over T/2 double-steps,
+row-tiled slice pulls, and 1-row read-modify-write forcing at the two
+STATIC buffer rows where the accelerate row ny-2 can appear (mid row
+B+T-2 of the last block, top-margin row T-2 of block 0 — gated by
+program_id exactly like pallas_band.py:199-205).
+
+Physics per step is the shared paired collision (ops/collision.py).
+Reference semantics: kernels.cl:7-42 (forcing), 44-201 (fused step);
+normalization d2q9-bgk.c:146-152. Storage: f32/bf16/c16 (dev codec).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.pallas_band import band_supported, nobst_ext
+from lbm_tpu.ops.pallas_temporal import _sublane_tile
+
+_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
+_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
+_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
+
+# Forcing planes: (plane, sign, weight-kind); kind 1 -> w1a, 2 -> w2a
+# (kernels.cl:33-41).
+_FORCE = ((1, 1.0, 1), (3, -1.0, 1), (5, 1.0, 2),
+          (6, -1.0, 2), (7, -1.0, 2), (8, 1.0, 2))
+
+
+def band2_supported(ny: int, nx: int, block: int, depth: int,
+                    dtype=jnp.float32) -> bool:
+    # depth must be even for the ping-pong to end in buffer A; block >= 2T
+    # keeps the forcing row's appearances at exactly the two static
+    # positions handled below (same implicit assumption as pallas_band).
+    return (
+        band_supported(ny, nx, block, depth, dtype)
+        and depth % 2 == 0
+        and block >= 2 * depth
+    )
+
+
+def _pick_tile_w(W: int, nx: int) -> int:
+    """Rows per step-tile: keep ~15 live tile-planes within ~12 MB."""
+    max_rows = max(8, (12 * 1024 * 1024) // (15 * nx * 4) // 8 * 8)
+    t = min(W, max_rows)
+    while W % t:
+        t -= 8
+    return max(t, 8)
+
+
+def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
+             out_ref, sums_ref, a_ref, b_ref,
+             *, block: int, nblk: int, depth: int, nx: int, tile_w: int,
+             w1a: float, w2a: float, omega: float, out_dtype,
+             paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    B, T = block, depth
+    W = B + 2 * T
+    wgt = {1: w1a, 2: w2a}
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    owner = owner_ref[0, 0]
+    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
+    gate_first = jnp.where(i == 0, 1.0, 0.0)
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    for k in range(9):
+        a_ref[k, :T] = load(top_ref[k], k)
+        a_ref[k, T : T + B] = load(cells_ref[k], k)
+        a_ref[k, T + B :] = load(bot_ref[k], k)
+
+    def force_rows(src):
+        """In-place accelerate_flow on the (up to) two buffer rows holding
+        global row ny-2 — 1-row ops replacing pallas_band's full-buffer
+        masked FMAs (the reference mutates cells in place the same way,
+        kernels.cl:29-41)."""
+        for pos, gate in ((B + T - 2, gate_last), (T - 2, gate_first)):
+            s1 = src[1, pos : pos + 1]
+            s3 = src[3, pos : pos + 1]
+            s5 = src[5, pos : pos + 1]
+            s6 = src[6, pos : pos + 1]
+            s7 = src[7, pos : pos + 1]
+            s8 = src[8, pos : pos + 1]
+            ok = (
+                (s3 - w1a > 0.0) & (s6 - w2a > 0.0) & (s7 - w2a > 0.0)
+            ).astype(jnp.float32)
+            am = ok * nob_all[pos : pos + 1] * gate
+            vals = {1: s1, 3: s3, 5: s5, 6: s6, 7: s7, 8: s8}
+            for k, sign, kind in _FORCE:
+                src[k, pos : pos + 1] = vals[k] + sign * wgt[kind] * am
+
+    ntiles = W // tile_w
+
+    def one_step(src, dst, s):
+        force_rows(src)
+        total = 0.0
+        for j in range(ntiles):
+            r0 = j * tile_w
+
+            def mid(k):
+                return src[k, r0 : r0 + tile_w]
+
+            def rowm(k, r):
+                r = r % W  # buffer wrap: garbage zone only (creep argument)
+                return src[k, r : r + 1]
+
+            def pull(k):
+                cy, cx = _CYS[k], _CXS[k]
+                if cy == 0:
+                    p = mid(k)
+                elif cy == 1:  # t[r] = src[r-1]
+                    p = jnp.concatenate(
+                        [rowm(k, r0 - 1), src[k, r0 : r0 + tile_w - 1]],
+                        axis=0,
+                    )
+                else:  # t[r] = src[r+1]
+                    p = jnp.concatenate(
+                        [src[k, r0 + 1 : r0 + tile_w], rowm(k, r0 + tile_w)],
+                        axis=0,
+                    )
+                if cx == 1:
+                    p = east(p)
+                elif cx == -1:
+                    p = west(p)
+                return p
+
+            t = tuple(pull(k) for k in range(9))
+            relaxed, usq = bgk_relax(t, omega, paired=paired)
+            nob_b = nob_b_all[r0 : r0 + tile_w]
+            for k in range(9):
+                dst[k, r0 : r0 + tile_w] = jnp.where(
+                    nob_b, relaxed[k], t[_OPP[k]]
+                )
+            # Central-band partial only: static intersection of this tile
+            # with rows [T, T+B) — edge garbage (incl. 1/rho infinities)
+            # never reaches the sums.
+            lo, hi = max(r0, T), min(r0 + tile_w, T + B)
+            if lo < hi:
+                total = total + jnp.sum(
+                    nob_all[lo:hi] * jnp.sqrt(usq[lo - r0 : hi - r0])
+                )
+        sums_ref[i, s] = total
+
+    def two_steps(h, carry):
+        one_step(a_ref, b_ref, 2 * h)
+        one_step(b_ref, a_ref, 2 * h + 1)
+        return carry
+
+    jax.lax.fori_loop(0, T // 2, two_steps, 0)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = a_ref[k, T : T + B]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
+                paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = ny // block
+    T = depth
+    W = block + 2 * T
+    spt = block // T
+    nstrip = ny // T
+    tile = _sublane_tile(dtype)
+    mask_rows = W + (-W) % tile
+    tile_w = _pick_tile_w(W, nx)
+    kern = functools.partial(
+        _kernel2, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
+        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
+        dev=dev,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, (i * spt - 1) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, W, nx), jnp.float32),
+            pltpu.VMEM((9, W, nx), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            # 2 scratch generations + double-buffered io + tile temporaries.
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * W * nx * 4)
+                + 4 * (9 * block * nx * dtype.itemsize)
+                + 15 * tile_w * nx * 4
+                + 20 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
+               *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps in one pass. Same contract as step_band."""
+    _, ny, nx = cells.shape
+    call = _make_call2(
+        ny, nx, block, depth,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, cells, cells, nob_ext_arr, owner)
+    return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
+
+
+def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
+              *, interpret=False, paired=None, dev=None):
+    """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
+    the single-step block kernel. Same contract as run_band."""
+    from lbm_tpu.ops import pallas_step as PS
+
+    _, ny, nx = cells.shape
+    T = depth
+    if not band2_supported(ny, nx, block, T, cells.dtype):
+        raise ValueError(
+            f"band2 kernel unsupported: grid {ny}x{nx}, block {block}, "
+            f"depth {T}, dtype {cells.dtype.name}"
+        )
+    nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
+    owner = jnp.ones((1, 1), jnp.float32)
+    if paired is None:
+        paired = paired_default()
+
+    npasses = n_iters // T
+    tot_u = jnp.zeros((n_iters,), jnp.float32)
+
+    def body(j, carry):
+        cells, tot_u = carry
+        cells, sums = step_band2(
+            cells, nob_ext_arr, owner, density, accel, omega, block, T,
+            interpret=interpret, paired=paired, dev=dev,
+        )
+        tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
+        return cells, tot_u
+
+    if npasses:
+        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
+    rem = n_iters % T
+    if rem:
+        step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
+        nob_plain = nobst.astype(cells.dtype)
+        carry = step.init_state(cells)
+        for r in range(rem):
+            carry, s = step(carry, nob_plain, density, accel, omega,
+                            paired=paired, dev=dev)
+            tot_u = tot_u.at[n_iters - rem + r].set(s)
+        cells = step.extract(carry)
+    return cells, tot_u

@@ -299,6 +299,32 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
     return jax.devices()[0].platform != "tpu"
 
 
+def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the ref-resident band kernel (ops/pallas_band2.py).
+    Explicit-only (``--backend band2``) until a TPU A/B lands; returns
+    None or the ``interpret`` flag. Config comes from the band picker
+    (full-row only; honors LBM_BAND_* overrides)."""
+    if backend != "band2":
+        return None
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
+        raise ValueError("band2 backend stores f32/bf16/c16 only")
+    from lbm_tpu.ops.pallas_band import pick_config
+    from lbm_tpu.ops.pallas_band2 import band2_supported
+
+    cfg = pick_config(params.ny, params.nx, dtype)
+    if cfg is None or not band2_supported(
+        params.ny, params.nx, cfg[0], cfg[1], dtype
+    ):
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} unsupported by the band2 kernel "
+            "(needs a fitting full-row band config with even depth and "
+            "block >= 2*depth; tune LBM_BAND_BLOCK / LBM_BAND_DEPTH)"
+        )
+    return jax.devices()[0].platform != "tpu"
+
+
 # Panel-variant widths with a relay-validated compile. 8192^2: f32 AND
 # c16 probed (bench_r3_panel8192b.json: panel 9,018/10,534 vs deep 2,871
 # in-session). 5120/6144/7168 (the widths whose full-row band configs
@@ -660,6 +686,27 @@ def _run_slab(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
                      "block", "depth", "paired", "dev"),
     donate_argnums=(0,),
 )
+def _run_band2(cells, obstacles, inv_tot_cells, n_iters, density, accel,
+               omega, interpret, block, depth, paired=True, dev=None):
+    # knobs resolved by the caller OUTSIDE jit.
+    from lbm_tpu.ops.pallas_band2 import run_band2
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
+    cells, tot_u = run_band2(
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, interpret=interpret, paired=paired, dev=dev,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth", "paired", "dev"),
+    donate_argnums=(0,),
+)
 def _run_deep(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
               interpret, block, depth, paired=True, dev=None):
     # block/depth/paired/dev resolved by the caller OUTSIDE jit (env
@@ -772,23 +819,24 @@ def run_simulation(
     # runs the HBM-traffic-bound kernels; c16 AA is explicit-only.
     aa_interpret = select_aa(params, backend, dtype)
     slab_interpret = select_slab(params, backend, dtype)  # explicit-only
+    band2_interpret = select_band2(params, backend, dtype)  # explicit-only
     resident_interpret = None
     band_interpret = None
     deep_interpret = None
     temporal_interpret = None
-    if aa_interpret is None and slab_interpret is None and dev_spec is None:
+    if aa_interpret is None and slab_interpret is None and band2_interpret is None and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None
+    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
             and resident_interpret is None):
         band_interpret = select_band(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None
+    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
             and resident_interpret is None and band_interpret is None):
         deep_interpret = select_deep(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None
+    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
             and resident_interpret is None and band_interpret is None
             and deep_interpret is None):
         temporal_interpret = select_temporal(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None
+    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
             and resident_interpret is None and band_interpret is None
             and deep_interpret is None and temporal_interpret is None):
         step_fn, _ = select_step_fn(params, backend, dtype)
@@ -858,6 +906,20 @@ def run_simulation(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=slab_interpret, block=s_block, depth=s_depth,
                 kpasses=s_k, sblock=s_s, dev=dev_tuple, **common,
+            )
+        if band2_interpret is not None:
+            from lbm_tpu.ops.pallas_band import pick_config as _band_pick
+
+            b2_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
+            b2_block, b2_depth = _band_pick(params.ny, params.nx, b2_dtype)
+            return _run_band2.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=band2_interpret, block=b2_block, depth=b2_depth,
+                dev=dev_tuple, **common,
             )
         if band_interpret is not None:
             from lbm_tpu.ops.pallas_band import (

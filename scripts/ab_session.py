@@ -17,7 +17,7 @@ Usage:
 SPEC is ``tag:key=val[,key=val...]`` with keys:
     size      square grid edge (or nx=/ny= separately)   [required]
     iters     timestep count                              [required]
-    backend   auto|aa|resident|temporal|deep|band|slab|pallas|reference [auto]
+    backend   auto|aa|resident|temporal|deep|band|band2|slab|pallas|reference [auto]
     dtype     f32|bf16|f64|c16                            [f32]
     depth/block for deep, band, and slab map to LBM_DEEP_*/LBM_BAND_*
     slabk/slabs  slab passes-per-visit / slab rows (LBM_SLAB_K/LBM_SLAB_S)
@@ -104,14 +104,14 @@ def variant_env(v: dict) -> dict:
     env = {}
     depth_knob = {
         "deep": "LBM_DEEP_DEPTH", "band": "LBM_BAND_DEPTH",
-        "slab": "LBM_BAND_DEPTH",
+        "slab": "LBM_BAND_DEPTH", "band2": "LBM_BAND_DEPTH",
     }.get(v["backend"], "LBM_TEMPORAL_DEPTH")
     if "depth" in v:
         env[depth_knob] = str(v["depth"])
     if "block" in v:
         knob = {
             "deep": "LBM_DEEP_BLOCK", "band": "LBM_BAND_BLOCK",
-            "slab": "LBM_BAND_BLOCK",
+            "slab": "LBM_BAND_BLOCK", "band2": "LBM_BAND_BLOCK",
         }.get(v["backend"])
         if knob is None:
             knob = (

@@ -1,0 +1,75 @@
+"""Ref-resident band kernel (ops/pallas_band2.py) vs the oracle.
+
+band2 replays the band garbage-creep schedule with the resident kernel's
+step body (ping-pong VMEM scratch refs, tile-slice pulls, 1-row in-place
+forcing). These tests pin: oracle agreement across fused passes and the
+y-wrap, the forcing row's two gated static positions (owner mid row,
+block-0 top margin), the remainder tail, bf16 storage, and the supported
+predicate (even depth, block >= 2T).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbm_tpu.ops.pallas_band2 import band2_supported, run_band2
+from test_temporal import PARAMS, make_setup, oracle_run
+
+
+@pytest.mark.parametrize("block,depth", [(16, 8), (32, 8), (32, 16)])
+def test_band2_matches_oracle(block, depth):
+    steps = depth * 2 + 3  # two fused passes + a block-kernel tail
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=steps)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band2(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        steps, block, depth, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, steps)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band2_forcing_from_rest():
+    """Forcing-only signal through full fused passes incl. the wrap copy
+    (both gated forcing positions exercised)."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=16)
+    obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
+    obstacles[0, :] = obstacles[-1, :] = 1
+    state = np.asarray(oracle.initial_state(params), np.float32)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band2(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        16, 32, 16, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 16)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band2_bf16_storage_runs():
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=8)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.bfloat16)
+    cells, tot_u = run_band2(
+        jnp.asarray(state, jnp.bfloat16), nobst,
+        params.density, params.accel, params.omega,
+        8, 16, 8, interpret=True,
+    )
+    assert cells.dtype == jnp.bfloat16
+    want, want_tot = oracle_run(state, obstacles, params, 8)
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=5e-2)
+
+
+def test_band2_supported():
+    assert band2_supported(64, 128, 16, 8)
+    assert not band2_supported(64, 128, 8, 8)     # block < 2T
+    assert not band2_supported(64, 128, 16, 9)    # depth % 8
+    assert not band2_supported(60, 128, 16, 8)    # ny % block
+    # production shapes
+    assert band2_supported(2048, 2048, 128, 16)
+    assert band2_supported(4096, 4096, 64, 16)
