@@ -299,30 +299,53 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
     return jax.devices()[0].platform != "tpu"
 
 
+# band2 auto routing: f32 full-row widths with a TPU-validated compile
+# (bench_r3_band2.json — 1536^2 17,986 / 2048^2 18,339 / 4096^2 17,064
+# MLUPS, +26-27% over band/panel in every bracket). Other widths/dtypes
+# stay explicit-only per the validated-sizes invariant (probe first).
+_BAND2_AUTO_NX = (1536, 2048, 4096)
+
+
 def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the ref-resident band kernel (ops/pallas_band2.py).
-    Explicit-only (``--backend band2``) until a TPU A/B lands; returns
-    None or the ``interpret`` flag. Config comes from the band picker
-    (full-row only; honors LBM_BAND_* overrides)."""
-    if backend != "band2":
+    Returns None or the ``interpret`` flag. ``auto`` claims the
+    TPU-validated f32 widths (``_BAND2_AUTO_NX``); ``--backend band2``
+    forces it wherever a full-row band config fits. Config comes from the
+    band picker (honors LBM_BAND_* overrides)."""
+    if backend not in ("auto", "band2"):
         return None
     if jnp.dtype(dtype) not in (
         jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
     ):
-        raise ValueError("band2 backend stores f32/bf16/c16 only")
+        if backend == "band2":
+            raise ValueError("band2 backend stores f32/bf16/c16 only")
+        return None
     from lbm_tpu.ops.pallas_band import pick_config
     from lbm_tpu.ops.pallas_band2 import band2_supported
 
     cfg = pick_config(params.ny, params.nx, dtype)
-    if cfg is None or not band2_supported(
+    fits = cfg is not None and band2_supported(
         params.ny, params.nx, cfg[0], cfg[1], dtype
+    )
+    if backend == "band2":
+        if not fits:
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} unsupported by the band2 "
+                "kernel (needs a fitting full-row band config with even "
+                "depth and block >= 2*depth; tune LBM_BAND_BLOCK / "
+                "LBM_BAND_DEPTH)"
+            )
+        return jax.devices()[0].platform != "tpu"
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (
+        fits
+        and on_tpu
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and params.nx in _BAND2_AUTO_NX
+        and 9 * params.ny * params.nx * 4 > _AA_AUTO_MAX_STATE
     ):
-        raise ValueError(
-            f"grid {params.ny}x{params.nx} unsupported by the band2 kernel "
-            "(needs a fitting full-row band config with even depth and "
-            "block >= 2*depth; tune LBM_BAND_BLOCK / LBM_BAND_DEPTH)"
-        )
-    return jax.devices()[0].platform != "tpu"
+        return False
+    return None
 
 
 # Panel-variant widths with a relay-validated compile. 8192^2: f32 AND
