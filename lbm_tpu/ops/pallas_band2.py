@@ -259,6 +259,269 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     )
 
 
+# --- Panel variant: x-split for widths whose full-row configs exceed ---------
+# VMEM (8192-wide f32). Identical to pallas_band.py's panel scheme (P-column
+# panels with H-column halos; garbage creeps in x exactly as in y, T <= H
+# keeps the central P columns genuine) with the band2 step body. x-shifts
+# stay lane rolls — absorbing them into lane-offset slices would break
+# 128-lane alignment and force Mosaic relayouts, unlike the free
+# sublane-offset y slices.
+
+
+def band2_panel_supported(ny: int, nx: int, block: int, depth: int,
+                          panel: int, halo: int = 128,
+                          dtype=jnp.float32) -> bool:
+    from lbm_tpu.ops.pallas_band import band_panel_supported
+
+    return (
+        band_panel_supported(ny, nx, block, depth, panel, halo, dtype)
+        and depth % 2 == 0
+        and block >= 2 * depth
+    )
+
+
+def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
+                   nw_ref, ne_ref, sw_ref, se_ref, nobst_ref, owner_ref,
+                   out_ref, sums_ref, a_ref, b_ref,
+                   *, block: int, nblk: int, depth: int, panel: int,
+                   halo: int, tile_w: int, w1a: float, w2a: float,
+                   omega: float, out_dtype, paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    B, T, P, H = block, depth, panel, halo
+    W = B + 2 * T
+    WX = P + 2 * H
+    wgt = {1: w1a, 2: w2a}
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, WX - 1, 1)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    owner = owner_ref[0, 0]
+    gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
+    gate_first = jnp.where(i == 0, 1.0, 0.0)
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    for k in range(9):
+        a_ref[k, :T] = jnp.concatenate(
+            [load(nw_ref[k], k), load(n_ref[k], k), load(ne_ref[k], k)],
+            axis=1,
+        )
+        a_ref[k, T : T + B] = jnp.concatenate(
+            [load(w_ref[k], k), load(c_ref[k], k), load(e_ref[k], k)],
+            axis=1,
+        )
+        a_ref[k, T + B :] = jnp.concatenate(
+            [load(sw_ref[k], k), load(s_ref[k], k), load(se_ref[k], k)],
+            axis=1,
+        )
+
+    def force_rows(src):
+        # Whole-WX-row forcing (the x halos hold genuine copies of row ny-2
+        # and must be forced identically — same as the value kernel).
+        for pos, gate in ((B + T - 2, gate_last), (T - 2, gate_first)):
+            s1 = src[1, pos : pos + 1]
+            s3 = src[3, pos : pos + 1]
+            s5 = src[5, pos : pos + 1]
+            s6 = src[6, pos : pos + 1]
+            s7 = src[7, pos : pos + 1]
+            s8 = src[8, pos : pos + 1]
+            ok = (
+                (s3 - w1a > 0.0) & (s6 - w2a > 0.0) & (s7 - w2a > 0.0)
+            ).astype(jnp.float32)
+            am = ok * nob_all[pos : pos + 1] * gate
+            vals = {1: s1, 3: s3, 5: s5, 6: s6, 7: s7, 8: s8}
+            for k, sign, kind in _FORCE:
+                src[k, pos : pos + 1] = vals[k] + sign * wgt[kind] * am
+
+    ntiles = W // tile_w
+
+    def one_step(src, dst, s):
+        force_rows(src)
+        total = 0.0
+        for jt in range(ntiles):
+            r0 = jt * tile_w
+
+            def rowm(k, r):
+                r = r % W
+                return src[k, r : r + 1]
+
+            def pull(k):
+                cy, cx = _CYS[k], _CXS[k]
+                if cy == 0:
+                    p = src[k, r0 : r0 + tile_w]
+                elif cy == 1:
+                    p = jnp.concatenate(
+                        [rowm(k, r0 - 1), src[k, r0 : r0 + tile_w - 1]],
+                        axis=0,
+                    )
+                else:
+                    p = jnp.concatenate(
+                        [src[k, r0 + 1 : r0 + tile_w], rowm(k, r0 + tile_w)],
+                        axis=0,
+                    )
+                if cx == 1:
+                    p = east(p)
+                elif cx == -1:
+                    p = west(p)
+                return p
+
+            t = tuple(pull(k) for k in range(9))
+            relaxed, usq = bgk_relax(t, omega, paired=paired)
+            nob_b = nob_b_all[r0 : r0 + tile_w]
+            for k in range(9):
+                dst[k, r0 : r0 + tile_w] = jnp.where(
+                    nob_b, relaxed[k], t[_OPP[k]]
+                )
+            lo, hi = max(r0, T), min(r0 + tile_w, T + B)
+            if lo < hi:
+                total = total + jnp.sum(
+                    nob_all[lo:hi, H : H + P]
+                    * jnp.sqrt(usq[lo - r0 : hi - r0, H : H + P])
+                )
+        sums_ref[i, j, s] = total
+
+    def two_steps(h, carry):
+        one_step(a_ref, b_ref, 2 * h)
+        one_step(b_ref, a_ref, 2 * h + 1)
+        return carry
+
+    jax.lax.fori_loop(0, T // 2, two_steps, 0)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = a_ref[k, T : T + B, H : H + P]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call2_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
+                      interpret, dtype_name, paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = ny // block
+    npan = nx // panel
+    T, P, H = depth, panel, halo
+    W = block + 2 * T
+    WX = P + 2 * H
+    spt = block // T
+    nstrip = ny // T
+    sph = panel // H
+    nstripx = nx // H
+    tile = _sublane_tile(dtype)
+    mask_rows = W + (-W) % tile
+    tile_w = _pick_tile_w(W, WX)
+    kern = functools.partial(
+        _kernel2_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
+        tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
+        paired=paired, dev=dev,
+    )
+
+    def rs_top(i, j):
+        return (i * spt - 1) % nstrip
+
+    def rs_bot(i, j):
+        return ((i + 1) * spt) % nstrip
+
+    def cs_left(i, j):
+        return (j * sph - 1) % nstripx
+
+    def cs_right(i, j):
+        return ((j + 1) * sph) % nstripx
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblk, npan),
+        in_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_top(i, j), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_bot(i, j), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_top(i, j), cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_top(i, j), cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_bot(i, j), cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H),
+                         lambda i, j: (0, rs_bot(i, j), cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, WX), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, W, WX), jnp.float32),
+            pltpu.VMEM((9, W, WX), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * W * WX * 4)
+                + 4 * (9 * block * P * dtype.itemsize)
+                + 15 * tile_w * WX * 4
+                + 20 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band2_panel(cells, nob_ext_arr, owner, density, accel, omega,
+                     block, depth, panel, halo=128,
+                     *, interpret=False, paired=None, dev=None):
+    """Advance T timesteps in one panelled pass."""
+    _, ny, nx = cells.shape
+    call = _make_call2_panel(
+        ny, nx, block, depth, panel, halo,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(*([cells] * 9), nob_ext_arr, owner)
+    return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
+
+
 def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
                *, interpret=False, paired=None, dev=None):
     """Advance T timesteps in one pass. Same contract as step_band."""
@@ -278,19 +541,33 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
 
 
 def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
-              *, interpret=False, paired=None, dev=None):
+              *, panel=None, halo=128, interpret=False, paired=None,
+              dev=None):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
-    the single-step block kernel. Same contract as run_band."""
+    the single-step block kernel. Same contract as run_band. ``panel``
+    selects the x-split variant."""
     from lbm_tpu.ops import pallas_step as PS
+    from lbm_tpu.ops.pallas_band import nobst_ext_panel
 
     _, ny, nx = cells.shape
     T = depth
-    if not band2_supported(ny, nx, block, T, cells.dtype):
+    if panel is not None:
+        if not band2_panel_supported(ny, nx, block, T, panel, halo,
+                                     cells.dtype):
+            raise ValueError(
+                f"panel band2 kernel unsupported: grid {ny}x{nx}, block "
+                f"{block}, depth {T}, panel {panel}, halo {halo}, "
+                f"dtype {cells.dtype.name}"
+            )
+        nob_ext_arr = nobst_ext_panel(nobst, block, T, panel, halo,
+                                      cells.dtype)
+    elif not band2_supported(ny, nx, block, T, cells.dtype):
         raise ValueError(
             f"band2 kernel unsupported: grid {ny}x{nx}, block {block}, "
             f"depth {T}, dtype {cells.dtype.name}"
         )
-    nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
+    else:
+        nob_ext_arr = nobst_ext(nobst, block, T, cells.dtype)
     owner = jnp.ones((1, 1), jnp.float32)
     if paired is None:
         paired = paired_default()
@@ -300,10 +577,16 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
 
     def body(j, carry):
         cells, tot_u = carry
-        cells, sums = step_band2(
-            cells, nob_ext_arr, owner, density, accel, omega, block, T,
-            interpret=interpret, paired=paired, dev=dev,
-        )
+        if panel is not None:
+            cells, sums = step_band2_panel(
+                cells, nob_ext_arr, owner, density, accel, omega, block, T,
+                panel, halo, interpret=interpret, paired=paired, dev=dev,
+            )
+        else:
+            cells, sums = step_band2(
+                cells, nob_ext_arr, owner, density, accel, omega, block, T,
+                interpret=interpret, paired=paired, dev=dev,
+            )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u
 

@@ -301,9 +301,36 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
 
 # band2 auto routing: f32 full-row widths with a TPU-validated compile
 # (bench_r3_band2.json — 1536^2 17,986 / 2048^2 18,339 / 4096^2 17,064
-# MLUPS, +26-27% over band/panel in every bracket). Other widths/dtypes
-# stay explicit-only per the validated-sizes invariant (probe first).
-_BAND2_AUTO_NX = (1536, 2048, 4096)
+# MLUPS, +26-27% over band/panel in every bracket; bench_r3_band2b.json
+# adds 3072^2 17,853 and c16-2048^2 17,214). Other widths/dtypes stay
+# explicit-only per the validated-sizes invariant (probe first).
+# B128T16 full-row at 4096 lanes remains compile-blocked even in the
+# scratch structure — B64T16 is the 4096 shape.
+_BAND2_AUTO_NX = (1536, 2048, 3072, 4096)
+_BAND2_AUTO_NX_C16 = (2048,)
+
+
+def band2_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
+    """Resolve the band2 schedule ``(block, depth, panel)``: the full-row
+    band pick when it fits band2's constraints (even depth, block >= 2T),
+    else the panel pick, else None. Unlike band_config there is no
+    4096^2 panel special case — band2's scratch-based structure compiles
+    full-row at 4096 lanes and beats the panel there
+    (bench_r3_band2.json)."""
+    from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
+    from lbm_tpu.ops.pallas_band2 import band2_panel_supported, band2_supported
+
+    cfg = pick_config(params.ny, params.nx, dtype)
+    if cfg is not None and band2_supported(
+        params.ny, params.nx, cfg[0], cfg[1], dtype
+    ):
+        return (*cfg, None)
+    pcfg = pick_config_panel(params.ny, params.nx, dtype)
+    if pcfg is not None and band2_panel_supported(
+        params.ny, params.nx, *pcfg, dtype=dtype
+    ):
+        return pcfg
+    return None
 
 
 def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
@@ -320,13 +347,8 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
         if backend == "band2":
             raise ValueError("band2 backend stores f32/bf16/c16 only")
         return None
-    from lbm_tpu.ops.pallas_band import pick_config
-    from lbm_tpu.ops.pallas_band2 import band2_supported
-
-    cfg = pick_config(params.ny, params.nx, dtype)
-    fits = cfg is not None and band2_supported(
-        params.ny, params.nx, cfg[0], cfg[1], dtype
-    )
+    cfg = band2_config(params, dtype)
+    fits = cfg is not None
     if backend == "band2":
         if not fits:
             raise ValueError(
@@ -337,12 +359,19 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
             )
         return jax.devices()[0].platform != "tpu"
     on_tpu = jax.devices()[0].platform == "tpu"
+    probed = (
+        (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+         and params.nx in _BAND2_AUTO_NX)
+        or (jnp.dtype(dtype) == jnp.dtype(jnp.int16)
+            and params.nx in _BAND2_AUTO_NX_C16)
+    )
+    state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
     if (
         fits
+        and cfg[2] is None  # auto: full-row shapes only (panel unprobed)
         and on_tpu
-        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-        and params.nx in _BAND2_AUTO_NX
-        and 9 * params.ny * params.nx * 4 > _AA_AUTO_MAX_STATE
+        and probed
+        and state_bytes > _AA_AUTO_MAX_STATE
     ):
         return False
     return None
@@ -706,11 +735,12 @@ def _run_slab(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "paired", "dev"),
+                     "block", "depth", "panel", "paired", "dev"),
     donate_argnums=(0,),
 )
 def _run_band2(cells, obstacles, inv_tot_cells, n_iters, density, accel,
-               omega, interpret, block, depth, paired=True, dev=None):
+               omega, interpret, block, depth, panel=None, paired=True,
+               dev=None):
     # knobs resolved by the caller OUTSIDE jit.
     from lbm_tpu.ops.pallas_band2 import run_band2
 
@@ -719,7 +749,8 @@ def _run_band2(cells, obstacles, inv_tot_cells, n_iters, density, accel,
     nobst = (obstacles == 0).astype(cells.dtype)
     cells, tot_u = run_band2(
         cells, nobst, density, accel, omega, n_iters,
-        block, depth, interpret=interpret, paired=paired, dev=dev,
+        block, depth, panel=panel, interpret=interpret, paired=paired,
+        dev=dev,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -931,18 +962,16 @@ def run_simulation(
                 kpasses=s_k, sblock=s_s, dev=dev_tuple, **common,
             )
         if band2_interpret is not None:
-            from lbm_tpu.ops.pallas_band import pick_config as _band_pick
-
             b2_dtype = (
                 dtype
                 if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
                 else jnp.float32
             )
-            b2_block, b2_depth = _band_pick(params.ny, params.nx, b2_dtype)
+            b2_block, b2_depth, b2_panel = band2_config(params, b2_dtype)
             return _run_band2.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=band2_interpret, block=b2_block, depth=b2_depth,
-                dev=dev_tuple, **common,
+                panel=b2_panel, dev=dev_tuple, **common,
             )
         if band_interpret is not None:
             from lbm_tpu.ops.pallas_band import (

@@ -73,3 +73,19 @@ def test_band2_supported():
     # production shapes
     assert band2_supported(2048, 2048, 128, 16)
     assert band2_supported(4096, 4096, 64, 16)
+
+
+def test_band2_panel_matches_oracle():
+    """x-split panel variant: creep in both axes, panel-0 west wrap."""
+    params = dataclasses.replace(PARAMS, nx=256, ny=64, max_iters=16)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    from lbm_tpu.ops.pallas_band2 import run_band2 as rb2
+
+    cells, tot_u = rb2(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        16, 32, 8, panel=128, halo=128, interpret=True,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 16)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
