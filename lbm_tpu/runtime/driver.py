@@ -306,7 +306,7 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
 # explicit-only per the validated-sizes invariant (probe first).
 # B128T16 full-row at 4096 lanes remains compile-blocked even in the
 # scratch structure — B64T16 is the 4096 shape.
-_BAND2_AUTO_NX = (1536, 2048, 3072, 4096)
+_BAND2_AUTO_NX = (1536, 2048, 3072, 4096, 8192)
 _BAND2_AUTO_NX_C16 = (2048,)
 
 
@@ -365,10 +365,17 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
         or (jnp.dtype(dtype) == jnp.dtype(jnp.int16)
             and params.nx in _BAND2_AUTO_NX_C16)
     )
+    # Panel shapes: only the TPU-validated (8192^2 f32, (128,16,2048) —
+    # bench_r3_band2panel.json: 17,568 MLUPS, +29% over panel-band).
+    panel_ok = cfg[2] is None or (
+        (params.ny, params.nx) == (8192, 8192)
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and cfg == (128, 16, 2048)
+    )
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
     if (
         fits
-        and cfg[2] is None  # auto: full-row shapes only (panel unprobed)
+        and panel_ok
         and on_tpu
         and probed
         and state_bytes > _AA_AUTO_MAX_STATE
