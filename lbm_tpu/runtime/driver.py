@@ -305,9 +305,18 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
 # adds 3072^2 17,853 and c16-2048^2 17,214). Other widths/dtypes stay
 # explicit-only per the validated-sizes invariant (probe first).
 # B128T16 full-row at 4096 lanes remains compile-blocked even in the
-# scratch structure — B64T16 is the 4096 shape.
-_BAND2_AUTO_NX = (1536, 2048, 3072, 4096, 8192)
-_BAND2_AUTO_NX_C16 = (2048,)
+# scratch structure — B64T16 is the 4096 shape. bench_r3_band2wides.json
+# validates the remaining widths: panel-band2 5120^2 15,242 / 6144^2
+# 16,882 / 7168^2 15,382 f32, and c16 full-row 3072^2 17,116 / 4096^2
+# 15,633.
+_BAND2_AUTO_NX = (1536, 2048, 3072, 4096)        # full-row f32
+_BAND2_AUTO_NX_C16 = (2048, 3072, 4096)          # full-row c16
+_BAND2_PANEL_AUTO = {                            # f32 panel shapes (TPU-validated)
+    (5120, 5120): (128, 8, 1024),
+    (6144, 6144): (128, 8, 2048),
+    (7168, 7168): (128, 8, 1024),
+    (8192, 8192): (128, 16, 2048),
+}
 
 
 def band2_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
@@ -359,27 +368,20 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
             )
         return jax.devices()[0].platform != "tpu"
     on_tpu = jax.devices()[0].platform == "tpu"
-    probed = (
-        (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-         and params.nx in _BAND2_AUTO_NX)
-        or (jnp.dtype(dtype) == jnp.dtype(jnp.int16)
-            and params.nx in _BAND2_AUTO_NX_C16)
-    )
-    # Panel shapes: only the TPU-validated (8192^2 f32, (128,16,2048) —
-    # bench_r3_band2panel.json: 17,568 MLUPS, +29% over panel-band).
-    panel_ok = cfg[2] is None or (
-        (params.ny, params.nx) == (8192, 8192)
-        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-        and cfg == (128, 16, 2048)
-    )
+    if cfg[2] is None:  # full-row shapes, keyed by lane width
+        probed = (
+            (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+             and params.nx in _BAND2_AUTO_NX)
+            or (jnp.dtype(dtype) == jnp.dtype(jnp.int16)
+                and params.nx in _BAND2_AUTO_NX_C16)
+        )
+    else:  # panel shapes: exact TPU-validated (grid, config) pairs, f32
+        probed = (
+            jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and _BAND2_PANEL_AUTO.get((params.ny, params.nx)) == cfg
+        )
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
-    if (
-        fits
-        and panel_ok
-        and on_tpu
-        and probed
-        and state_bytes > _AA_AUTO_MAX_STATE
-    ):
+    if fits and on_tpu and probed and state_bytes > _AA_AUTO_MAX_STATE:
         return False
     return None
 
