@@ -367,6 +367,8 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
                 "LBM_BAND_DEPTH)"
             )
         return jax.devices()[0].platform != "tpu"
+    if not fits:
+        return None
     on_tpu = jax.devices()[0].platform == "tpu"
     if cfg[2] is None:  # full-row shapes, keyed by lane width
         probed = (
