@@ -522,6 +522,214 @@ def step_band2_panel(cells, nob_ext_arr, owner, density, accel, omega,
     return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
 
 
+# --- Sharded-local variant (parallel/sharded.py make_sharded_band_step) ------
+# Same contract as pallas_band._kernel_sharded: the shard's T-row halos
+# arrive by ppermute (buffer edges are GENUINE data; garbage creeps only
+# from the boundary), and the accelerate row may land anywhere, so forcing
+# uses the global-row selector (r0 SMEM scalar + program_id). Because the
+# position is dynamic, the 1-row in-place update of the full-grid band2
+# kernel is replaced by a per-step forcing FIELD: am_all = selector x
+# elementwise positivity (3 full-buffer reads + compares), and each forced
+# plane's pull adds its y-aligned slice of am_all BEFORE the x-roll (the
+# delta rides with the value, matching kernels.cl:29-41's per-cell gate).
+
+
+def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
+                     out_ref, sums_ref, a_ref, b_ref,
+                     *, block: int, depth: int, ny: int, nx: int,
+                     tile_w: int, w1a: float, w2a: float, omega: float,
+                     out_dtype, paired: bool = True, dev=None):
+    i = pl.program_id(0)
+    B, T = block, depth
+    W = B + 2 * T
+    wgt = {1: w1a, 2: w2a}
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, nx - 1, 1)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    r0 = r0_ref[0, 0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
+    sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    for k in range(9):
+        a_ref[k, :T] = load(n_ref[k], k)
+        a_ref[k, T : T + B] = load(c_ref[k], k)
+        a_ref[k, T + B :] = load(s_ref[k], k)
+
+    ntiles = W // tile_w
+    sign = {1: 1.0, 5: 1.0, 8: 1.0, 3: -1.0, 6: -1.0, 7: -1.0}
+    kind = {1: 1, 3: 1, 5: 2, 6: 2, 7: 2, 8: 2}
+
+    def one_step(src, dst, s):
+        ok = (
+            (src[3] - w1a > 0.0)
+            & (src[6] - w2a > 0.0)
+            & (src[7] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am_all = sel_nob * ok  # (W, nx); nonzero on the forcing row(s) only
+
+        def am_rows(lo, h):
+            """am_all rows [lo, lo+h) with buffer wrap (garbage zone)."""
+            lo %= W
+            if lo + h <= W:
+                return am_all[lo : lo + h]
+            return jnp.concatenate(
+                [am_all[lo:], am_all[: lo + h - W]], axis=0
+            )
+
+        total = 0.0
+        for jt in range(ntiles):
+            r0t = jt * tile_w
+
+            def rowm(k, r):
+                r = r % W
+                return src[k, r : r + 1]
+
+            def pull(k):
+                cy, cx = _CYS[k], _CXS[k]
+                if cy == 0:
+                    p = src[k, r0t : r0t + tile_w]
+                elif cy == 1:
+                    p = jnp.concatenate(
+                        [rowm(k, r0t - 1), src[k, r0t : r0t + tile_w - 1]],
+                        axis=0,
+                    )
+                else:
+                    p = jnp.concatenate(
+                        [src[k, r0t + 1 : r0t + tile_w],
+                         rowm(k, r0t + tile_w)],
+                        axis=0,
+                    )
+                if k in sign:  # forcing delta, y-aligned to the source rows
+                    p = p + sign[k] * wgt[kind[k]] * am_rows(r0t - cy, tile_w)
+                if cx == 1:
+                    p = east(p)
+                elif cx == -1:
+                    p = west(p)
+                return p
+
+            t = tuple(pull(k) for k in range(9))
+            relaxed, usq = bgk_relax(t, omega, paired=paired)
+            nob_b = nob_b_all[r0t : r0t + tile_w]
+            for k in range(9):
+                dst[k, r0t : r0t + tile_w] = jnp.where(
+                    nob_b, relaxed[k], t[_OPP[k]]
+                )
+            lo, hi = max(r0t, T), min(r0t + tile_w, T + B)
+            if lo < hi:
+                total = total + jnp.sum(
+                    nob_all[lo:hi] * jnp.sqrt(usq[lo - r0t : hi - r0t])
+                )
+        sums_ref[i, s] = total
+
+    def two_steps(h, carry):
+        one_step(a_ref, b_ref, 2 * h)
+        one_step(b_ref, a_ref, 2 * h + 1)
+        return carry
+
+    jax.lax.fori_loop(0, T // 2, two_steps, 0)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = a_ref[k, T : T + B]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
+                        interpret, dtype_name, paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = rows // block
+    T = depth
+    W = block + 2 * T
+    tile = _sublane_tile(dtype)
+    mask_rows = W + (-W) % tile
+    tile_w = _pick_tile_w(W, nx)
+    kern = functools.partial(
+        _kernel2_sharded, block=block, depth=T, ny=ny_global, nx=nx,
+        tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
+        paired=paired, dev=dev,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, W, nx), jnp.float32),
+            pltpu.VMEM((9, W, nx), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * W * nx * 4)
+                + 4 * (9 * block * nx * dtype.itemsize)
+                + 15 * tile_w * nx * 4
+                + 20 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band2_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
+                       density, accel, omega, block, depth, ny_global,
+                       *, interpret=False, paired=None, dev=None):
+    """Advance the local shard T timesteps (band2 body). Same contract as
+    pallas_band.step_band_sharded."""
+    _, rows, nx = cells.shape
+    call = _make_call2_sharded(
+        rows, nx, ny_global, block, depth,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, n_compact, s_compact, nob_ext_arr, r0)
+    return out, jnp.sum(sums, axis=0)  # (T,) per-step local partials
+
+
 def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
                *, interpret=False, paired=None, dev=None):
     """Advance T timesteps in one pass. Same contract as step_band."""

@@ -740,7 +740,8 @@ def make_sharded_pallas_step_overlap(interpret: bool = False,
 def make_sharded_band_step(block: int, depth: int, ny_global: int,
                            interpret: bool = False,
                            paired: bool | None = None, dev=None,
-                           panel: int | None = None, halo: int = 128):
+                           panel: int | None = None, halo: int = 128,
+                           band2: bool = False):
     """Communication-avoiding per-shard step: T timesteps per call via the
     band kernel's sharded-local variant (ops/pallas_band.py
     ``step_band_sharded``) with ONE T-row ppermute pair per pass — T x
@@ -762,6 +763,8 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
 
     T = depth
     paired = paired_default() if paired is None else paired
+    if band2 and panel is not None:
+        raise ValueError("sharded band2 has no panel variant yet")
 
     def step(cells, nob_ext_arr, density, accel, omega):
         n = jax.lax.axis_size(AXIS)
@@ -790,7 +793,15 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         else:
             n_compact, s_compact = halo_dn, halo_up
         r0 = (idx * rows).astype(jnp.int32).reshape(1, 1)
-        if panel is None:
+        if band2:
+            from lbm_tpu.ops.pallas_band2 import step_band2_sharded
+
+            cells, sums = step_band2_sharded(
+                cells, n_compact, s_compact, nob_ext_arr, r0,
+                density, accel, omega, block, T, ny_global,
+                interpret=interpret, paired=paired, dev=dev,
+            )
+        elif panel is None:
             cells, sums = PBAND.step_band_sharded(
                 cells, n_compact, s_compact, nob_ext_arr, r0,
                 density, accel, omega, block, T, ny_global,
@@ -976,12 +987,46 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
     companded-deviation mode, falling back to the decode/step/encode jnp
     wrapper off-TPU.
     """
-    if backend in ("resident", "aa", "temporal", "deep"):
+    if backend in ("resident", "aa", "temporal", "deep", "slab"):
         # Single-device-only kernels: fail loudly rather than silently
         # running the jnp step under a mesh (loud-errors invariant).
         raise ValueError(
             f"{backend} backend is single-device only; use --backend "
-            "auto/pallas/pallas-overlap/band/reference with --mesh"
+            "auto/pallas/pallas-overlap/band/band2/reference with --mesh"
+        )
+    if backend == "band2":
+        # band2's sharded-local variant (ops/pallas_band2.py): the same
+        # communication-avoiding T-steps-per-ppermute protocol with the
+        # ref-resident step body (+26-29% single-device; full-row only —
+        # shard widths needing panels route --backend band).
+        from lbm_tpu.ops.pallas_band import pick_config as band_pick
+        from lbm_tpu.ops.pallas_band2 import band2_supported
+
+        b2_dtype = (
+            jnp.dtype(dtype)
+            if jnp.dtype(dtype) in (
+                jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+                jnp.dtype(jnp.int16),
+            )
+            else None
+        )
+        if b2_dtype is None or (
+            jnp.dtype(dtype) == jnp.dtype(jnp.int16) and dev is None
+        ):
+            raise ValueError(
+                "sharded band2 backend stores f32/bf16/c16 only; use "
+                "--precision f32/bf16/c16"
+            )
+        rows = params.ny // n_shards
+        cfg = band_pick(rows, params.nx, b2_dtype)
+        if cfg is None or not band2_supported(rows, params.nx, *cfg, b2_dtype):
+            raise ValueError(
+                f"local grid {rows}x{params.nx} unsupported by the band2 "
+                "kernel; use --backend band/pallas or fewer shards"
+            )
+        return make_sharded_band_step(
+            cfg[0], cfg[1], params.ny, interpret=not on_tpu, dev=dev,
+            band2=True,
         )
     if backend == "band":
         # Communication-avoiding deep blocking per shard: T steps per

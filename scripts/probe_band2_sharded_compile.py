@@ -1,0 +1,75 @@
+"""Mosaic-lowering validation of the SHARDED band2 kernel on one chip.
+
+The sharded paths only execute under a multi-device mesh (CPU interpret
+here), so their Pallas kernels never face the real TPU toolchain — this
+probe compiles and runs the per-shard pallas_call standalone on the
+single chip with fabricated halo strips, at realistic shard shapes.
+Pass/fail per shape is the datum (plus a value check against the
+interpret-mode kernel on the same inputs).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.ops.pallas_band import nobst_ext_local
+from lbm_tpu.ops.pallas_band2 import step_band2_sharded
+
+
+def run_shape(rows, nx, block, depth, ny_global):
+    rng = np.random.RandomState(0)
+    cells = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, rows, nx).astype(np.float32)
+    )
+    T = depth
+    nblk = rows // block
+    n_compact = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    )
+    s_compact = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    )
+    nob = np.ones((rows, nx), np.float32)
+    nob[3, :] = 0.0
+    padded = jnp.asarray(
+        np.concatenate([np.ones((T, nx), np.float32), nob,
+                        np.ones((T, nx), np.float32)], axis=0)
+    )
+    nob_ext = nobst_ext_local(padded, block, T, jnp.float32)
+    r0 = jnp.full((1, 1), ny_global - rows, jnp.int32)  # last shard: forcing
+
+    t0 = time.perf_counter()
+    out, sums = step_band2_sharded(
+        cells, n_compact, s_compact, nob_ext, r0,
+        0.1, 0.005, 1.85, block, T, ny_global, interpret=False,
+    )
+    val = float(jnp.sum(sums))
+    compile_and_run = time.perf_counter() - t0
+
+    want, wsums = step_band2_sharded(
+        cells, n_compact, s_compact, nob_ext, r0,
+        0.1, 0.005, 1.85, block, T, ny_global, interpret=True,
+    )
+    err = float(jnp.abs(out - want).max())
+    serr = abs(val - float(jnp.sum(wsums)))
+    print(f"rows={rows} nx={nx} B={block} T={T}: ok, "
+          f"{compile_and_run:.1f}s, max|tpu-interp|={err:.3g}, "
+          f"sum diff={serr:.3g}", flush=True)
+    assert err < 1e-4 and serr < 1e-2
+
+
+def main():
+    # warm the session cheaply
+    jax.device_get(jnp.zeros((8, 128)).sum())
+    for rows, nx, b, t, nyg in ((512, 4096, 64, 16, 4096),
+                                (1024, 2048, 128, 16, 8192),
+                                (256, 2048, 64, 8, 2048)):
+        run_shape(rows, nx, b, t, nyg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -461,3 +461,33 @@ def test_sharded_band_panel_c16(monkeypatch):
     assert c16.cells.dtype == np.float32
     np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
     np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
+
+
+def test_sharded_band2_matches_reference(monkeypatch):
+    """band2's sharded-local variant (ref-resident step body + the per-step
+    forcing field) vs the single-device reference: 2 shards, two fused
+    passes + a 3-step tail, forcing row in the last shard's interior."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    params, obstacles = _band_case(64, 128, 19)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band2"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band2_forcing_row_wrap(monkeypatch):
+    """4 shards: the forced row ny-2 sits in the LAST shard's interior AND
+    in shard 0's wrapped top halo; band2's am_all forcing field must force
+    both copies (one fused pass, no tail)."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    params, obstacles = _band_case(128, 128, 8)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band2"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
