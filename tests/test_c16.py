@@ -114,6 +114,33 @@ def test_temporal_kernel_c16_close_to_f32():
     np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
 
 
+def test_band2_kernel_c16_close_to_f32(monkeypatch):
+    """c16 through the band2 kernel (the backend auto now routes for c16 at
+    2048^2-4096^2): full driver plumbing — encode on upload, the static dev
+    tuple through _run_band2, decode on readback."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    p, obs = _small(ny=64, iters=19)  # two fused passes + block-kernel tail
+    f32 = run_simulation(p, obs, backend="band2", dtype=jnp.float32)
+    c16 = run_simulation(p, obs, backend="band2", dtype="c16")
+    assert c16.cells.dtype == np.float32
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
+
+
+def test_band2_panel_kernel_c16_close_to_f32(monkeypatch):
+    """c16 through the x-split panel-band2 variant (the large-width
+    schedule): panel pulls ride encoded storage, halo wrap included."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    p, obs = _small(nx=256, ny=64, iters=19)
+    f32 = run_simulation(p, obs, backend="band2", dtype=jnp.float32)
+    c16 = run_simulation(p, obs, backend="band2", dtype="c16")
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
+
+
 def test_c16_auto_cpu_runs_reference_wrapper():
     """auto + c16 off-TPU must run the decode/step/encode wrapper, never the
     raw reference step on companded ints."""
