@@ -308,14 +308,22 @@ def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
 # scratch structure — B64T16 is the 4096 shape. bench_r3_band2wides.json
 # validates the remaining widths: panel-band2 5120^2 15,242 / 6144^2
 # 16,882 / 7168^2 15,382 f32, and c16 full-row 3072^2 17,116 / 4096^2
-# 15,633.
+# 15,633. bench_r3_c16wides.json completes the c16 matrix: full-row
+# 1536^2 17,634 (vs band's 7,537) / 5120^2 15,003 / 6144^2 15,125 (both
+# full-row — c16's half-size buffers fit where f32 needs panels, and
+# full-row beat the forced f32-shape panels in-session), panel 7168^2
+# 15,050 / 8192^2 14,706 (+40% over panel-band c16's 10,534).
 _BAND2_AUTO_NX = (1536, 2048, 3072, 4096)        # full-row f32
-_BAND2_AUTO_NX_C16 = (2048, 3072, 4096)          # full-row c16
+_BAND2_AUTO_NX_C16 = (1536, 2048, 3072, 4096, 5120, 6144)  # full-row c16
 _BAND2_PANEL_AUTO = {                            # f32 panel shapes (TPU-validated)
     (5120, 5120): (128, 8, 1024),
     (6144, 6144): (128, 8, 2048),
     (7168, 7168): (128, 8, 1024),
     (8192, 8192): (128, 16, 2048),
+}
+_BAND2_PANEL_AUTO_C16 = {                        # c16 panel shapes (TPU-validated)
+    (7168, 7168): (128, 8, 1024),
+    (8192, 8192): (128, 8, 2048),
 }
 
 
@@ -377,13 +385,24 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
             or (jnp.dtype(dtype) == jnp.dtype(jnp.int16)
                 and params.nx in _BAND2_AUTO_NX_C16)
         )
-    else:  # panel shapes: exact TPU-validated (grid, config) pairs, f32
-        probed = (
-            jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            and _BAND2_PANEL_AUTO.get((params.ny, params.nx)) == cfg
-        )
+    else:  # panel shapes: exact TPU-validated (grid, config) pairs
+        if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+            table = _BAND2_PANEL_AUTO
+        elif jnp.dtype(dtype) == jnp.dtype(jnp.int16):
+            table = _BAND2_PANEL_AUTO_C16
+        else:
+            table = {}
+        probed = table.get((params.ny, params.nx)) == cfg
+    # Defer to AA only where AA's auto policy actually claims the run
+    # (f32 within the validated VMEM-residency ceiling); c16 AA is
+    # explicit-only, so probed c16 widths route band2 at ANY state size
+    # (1536^2 c16 is 42.5 MB — under the f32 AA cap, but AA never takes it).
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
-    if fits and on_tpu and probed and state_bytes > _AA_AUTO_MAX_STATE:
+    aa_claims = (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and state_bytes <= _AA_AUTO_MAX_STATE
+    )
+    if fits and on_tpu and probed and not aa_claims:
         return False
     return None
 

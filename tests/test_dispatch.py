@@ -156,3 +156,27 @@ def test_forced_band():
     assert driver.select_band(p(2048, 2048), "band", jnp.float32) is True
     with pytest.raises(ValueError, match="f32/bf16/c16"):
         driver.select_band(p(2048, 2048), "band", jnp.float64)
+
+
+def test_auto_band2_claims_validated_matrix(on_tpu):
+    # Round-3 policy: band2 (ref-resident step body on the band schedule)
+    # outran band/panel at EVERY TPU-validated shape (bench_r3_band2*.json,
+    # bench_r3_c16wides.json), so auto routes it wherever the resolved
+    # config matches a validated compile. f32: full-row 1536-4096, panels
+    # 5120-8192. c16: full-row 1536-6144 (half-size buffers fit full-row
+    # where f32 needs panels), panels 7168/8192.
+    for n in (1536, 2048, 3072, 4096, 5120, 6144, 7168, 8192):
+        assert driver.select_band2(p(n, n), "auto", jnp.float32) is False, n
+        assert driver.select_band2(p(n, n), "auto", jnp.int16) is False, n
+    # f32 within AA's auto ceiling defers to AA; c16 does NOT (c16 AA is
+    # explicit-only, so band2 takes 1536^2 c16 at 42.5 MB).
+    assert driver.select_band2(p(1024, 1024), "auto", jnp.float32) is None
+    # bf16 and unprobed widths keep their prior routes.
+    assert driver.select_band2(p(2048, 2048), "auto", jnp.bfloat16) is None
+    assert driver.select_band2(p(9216, 9216), "auto", jnp.float32) is None
+
+
+def test_forced_band2():
+    assert driver.select_band2(p(2048, 2048), "band2", jnp.float32) is True
+    with pytest.raises(ValueError, match="f32/bf16/c16"):
+        driver.select_band2(p(2048, 2048), "band2", jnp.float64)
