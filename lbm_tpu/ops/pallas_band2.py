@@ -730,6 +730,254 @@ def step_band2_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
     return out, jnp.sum(sums, axis=0)  # (T,) per-step local partials
 
 
+def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
+                           nw_ref, ne_ref, sw_ref, se_ref,
+                           nobst_ref, r0_ref, out_ref, sums_ref,
+                           a_ref, b_ref,
+                           *, block: int, depth: int, panel: int, halo: int,
+                           ny: int, tile_w: int, w1a: float, w2a: float,
+                           omega: float, out_dtype, paired: bool = True,
+                           dev=None):
+    """The sharded band2 body on the x-split panel schedule: the panel
+    kernel's 9-view buffer assembly and [H, H+P) sums window
+    (``_kernel2_panel``) with the sharded kernel's dynamic forcing field
+    (``_kernel2_sharded``'s r0 selector + y-aligned am slices in the
+    pulls). x halos are column strips of the SAME local arrays — x never
+    leaves the shard on the 1-D row mesh."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    B, T, P, H = block, depth, panel, halo
+    W = B + 2 * T
+    WX = P + 2 * H
+    wgt = {1: w1a, 2: w2a}
+
+    def east(p):
+        return pltpu.roll(p, 1, 1)
+
+    def west(p):
+        return pltpu.roll(p, WX - 1, 1)
+
+    nob_all = nobst_ref[...][:W].astype(jnp.float32)
+    nob_b_all = nob_all > 0.0
+    r0 = r0_ref[0, 0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
+    # The extended mask already holds the x-halo copies of each row, so the
+    # selector forces the halo columns identically to the genuine panel.
+    sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
+
+    if dev is None:
+        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
+    else:
+        from lbm_tpu.ops.devspace import decode_value
+
+        def load(v, k):
+            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    for k in range(9):
+        a_ref[k, :T] = jnp.concatenate(
+            [load(nw_ref[k], k), load(n_ref[k], k), load(ne_ref[k], k)],
+            axis=1,
+        )
+        a_ref[k, T : T + B] = jnp.concatenate(
+            [load(w_ref[k], k), load(c_ref[k], k), load(e_ref[k], k)],
+            axis=1,
+        )
+        a_ref[k, T + B :] = jnp.concatenate(
+            [load(sw_ref[k], k), load(s_ref[k], k), load(se_ref[k], k)],
+            axis=1,
+        )
+
+    ntiles = W // tile_w
+    sign = {1: 1.0, 5: 1.0, 8: 1.0, 3: -1.0, 6: -1.0, 7: -1.0}
+    kind = {1: 1, 3: 1, 5: 2, 6: 2, 7: 2, 8: 2}
+
+    def one_step(src, dst, s):
+        ok = (
+            (src[3] - w1a > 0.0)
+            & (src[6] - w2a > 0.0)
+            & (src[7] - w2a > 0.0)
+        ).astype(jnp.float32)
+        am_all = sel_nob * ok  # (W, WX); nonzero on the forcing row(s) only
+
+        def am_rows(lo, h):
+            """am_all rows [lo, lo+h) with buffer wrap (garbage zone)."""
+            lo %= W
+            if lo + h <= W:
+                return am_all[lo : lo + h]
+            return jnp.concatenate(
+                [am_all[lo:], am_all[: lo + h - W]], axis=0
+            )
+
+        total = 0.0
+        for jt in range(ntiles):
+            r0t = jt * tile_w
+
+            def rowm(k, r):
+                r = r % W
+                return src[k, r : r + 1]
+
+            def pull(k):
+                cy, cx = _CYS[k], _CXS[k]
+                if cy == 0:
+                    p = src[k, r0t : r0t + tile_w]
+                elif cy == 1:
+                    p = jnp.concatenate(
+                        [rowm(k, r0t - 1), src[k, r0t : r0t + tile_w - 1]],
+                        axis=0,
+                    )
+                else:
+                    p = jnp.concatenate(
+                        [src[k, r0t + 1 : r0t + tile_w],
+                         rowm(k, r0t + tile_w)],
+                        axis=0,
+                    )
+                if k in sign:  # forcing delta, y-aligned to the source rows
+                    p = p + sign[k] * wgt[kind[k]] * am_rows(r0t - cy, tile_w)
+                if cx == 1:
+                    p = east(p)
+                elif cx == -1:
+                    p = west(p)
+                return p
+
+            t = tuple(pull(k) for k in range(9))
+            relaxed, usq = bgk_relax(t, omega, paired=paired)
+            nob_b = nob_b_all[r0t : r0t + tile_w]
+            for k in range(9):
+                dst[k, r0t : r0t + tile_w] = jnp.where(
+                    nob_b, relaxed[k], t[_OPP[k]]
+                )
+            lo, hi = max(r0t, T), min(r0t + tile_w, T + B)
+            if lo < hi:
+                total = total + jnp.sum(
+                    nob_all[lo:hi, H : H + P]
+                    * jnp.sqrt(usq[lo - r0t : hi - r0t, H : H + P])
+                )
+        sums_ref[i, j, s] = total
+
+    def two_steps(h, carry):
+        one_step(a_ref, b_ref, 2 * h)
+        one_step(b_ref, a_ref, 2 * h + 1)
+        return carry
+
+    jax.lax.fori_loop(0, T // 2, two_steps, 0)
+
+    if dev is not None:
+        from lbm_tpu.ops.devspace import encode_value
+    for k in range(9):
+        mid = a_ref[k, T : T + B, H : H + P]
+        if dev is None:
+            out_ref[k] = mid.astype(out_dtype)
+        else:
+            out_ref[k] = encode_value(mid - dev[k], dev[9]).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call2_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
+                              w1a, w2a, omega, interpret, dtype_name,
+                              paired=True, dev=None):
+    dtype = jnp.dtype(dtype_name)
+    nblk = rows // block
+    npan = nx // panel
+    T, P, H = depth, panel, halo
+    W = block + 2 * T
+    WX = P + 2 * H
+    nstripx = nx // H
+    sph = panel // H
+    tile = _sublane_tile(dtype)
+    mask_rows = W + (-W) % tile
+    tile_w = _pick_tile_w(W, WX)
+    kern = functools.partial(
+        _kernel2_sharded_panel, block=block, depth=T, panel=P, halo=H,
+        ny=ny_global, tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega,
+        out_dtype=dtype, paired=paired, dev=dev,
+    )
+
+    def cs_left(i, j):   # col-strip left of panel j (wraps inside the shard)
+        return (j * sph - 1) % nstripx
+
+    def cs_right(i, j):
+        return ((j + 1) * sph) % nstripx
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblk, npan),
+        in_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_rows, WX), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows, nx), dtype),
+            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, W, WX), jnp.float32),
+            pltpu.VMEM((9, W, WX), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                2 * (9 * W * WX * 4)
+                + 4 * (9 * block * P * dtype.itemsize)
+                + 15 * tile_w * WX * 4
+                + 20 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def step_band2_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
+                             density, accel, omega, block, depth, panel,
+                             ny_global, halo=128,
+                             *, interpret=False, paired=None, dev=None):
+    """Advance the local shard T timesteps in one panelled pass (band2
+    body). Same contract as pallas_band.step_band_sharded_panel."""
+    _, rows, nx = cells.shape
+    call = _make_call2_sharded_panel(
+        rows, nx, ny_global, block, depth, panel, halo,
+        float(density * accel / 9.0),
+        float(density * accel / 36.0),
+        float(omega),
+        bool(interpret),
+        cells.dtype.name,
+        paired=paired_default() if paired is None else paired,
+        dev=dev,
+    )
+    out, sums = call(cells, n_compact, s_compact, cells, cells,
+                     n_compact, n_compact, s_compact, s_compact,
+                     nob_ext_arr, r0)
+    return out, jnp.sum(sums, axis=(0, 1))  # (T,) per-step local partials
+
+
 def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
                *, interpret=False, paired=None, dev=None):
     """Advance T timesteps in one pass. Same contract as step_band."""

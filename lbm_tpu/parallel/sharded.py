@@ -763,8 +763,6 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
 
     T = depth
     paired = paired_default() if paired is None else paired
-    if band2 and panel is not None:
-        raise ValueError("sharded band2 has no panel variant yet")
 
     def step(cells, nob_ext_arr, density, accel, omega):
         n = jax.lax.axis_size(AXIS)
@@ -793,7 +791,15 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         else:
             n_compact, s_compact = halo_dn, halo_up
         r0 = (idx * rows).astype(jnp.int32).reshape(1, 1)
-        if band2:
+        if band2 and panel is not None:
+            from lbm_tpu.ops.pallas_band2 import step_band2_sharded_panel
+
+            cells, sums = step_band2_sharded_panel(
+                cells, n_compact, s_compact, nob_ext_arr, r0,
+                density, accel, omega, block, T, panel, ny_global, halo,
+                interpret=interpret, paired=paired, dev=dev,
+            )
+        elif band2:
             from lbm_tpu.ops.pallas_band2 import step_band2_sharded
 
             cells, sums = step_band2_sharded(
@@ -997,10 +1003,16 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
     if backend == "band2":
         # band2's sharded-local variant (ops/pallas_band2.py): the same
         # communication-avoiding T-steps-per-ppermute protocol with the
-        # ref-resident step body (+26-29% single-device; full-row only —
-        # shard widths needing panels route --backend band).
+        # ref-resident step body (+26-29% single-device). Shard widths
+        # whose full-row buffer exceeds VMEM fall back to the x-split
+        # panel variant (step_band2_sharded_panel) — the 8192-wide
+        # BASELINE weak-scaling config runs the fastest step body too.
         from lbm_tpu.ops.pallas_band import pick_config as band_pick
-        from lbm_tpu.ops.pallas_band2 import band2_supported
+        from lbm_tpu.ops.pallas_band import pick_config_panel as band_pick_panel
+        from lbm_tpu.ops.pallas_band2 import (
+            band2_panel_supported,
+            band2_supported,
+        )
 
         b2_dtype = (
             jnp.dtype(dtype)
@@ -1019,14 +1031,23 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
             )
         rows = params.ny // n_shards
         cfg = band_pick(rows, params.nx, b2_dtype)
-        if cfg is None or not band2_supported(rows, params.nx, *cfg, b2_dtype):
+        if cfg is not None and band2_supported(rows, params.nx, *cfg,
+                                               b2_dtype):
+            return make_sharded_band_step(
+                cfg[0], cfg[1], params.ny, interpret=not on_tpu, dev=dev,
+                band2=True,
+            )
+        pcfg = band_pick_panel(rows, params.nx, b2_dtype)
+        if pcfg is None or not band2_panel_supported(
+            rows, params.nx, *pcfg, dtype=b2_dtype
+        ):
             raise ValueError(
                 f"local grid {rows}x{params.nx} unsupported by the band2 "
                 "kernel; use --backend band/pallas or fewer shards"
             )
         return make_sharded_band_step(
-            cfg[0], cfg[1], params.ny, interpret=not on_tpu, dev=dev,
-            band2=True,
+            pcfg[0], pcfg[1], params.ny, interpret=not on_tpu, dev=dev,
+            panel=pcfg[2], band2=True,
         )
     if backend == "band":
         # Communication-avoiding deep blocking per shard: T steps per

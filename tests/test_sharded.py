@@ -491,3 +491,54 @@ def test_sharded_band2_forcing_row_wrap(monkeypatch):
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band2_panel_matches_reference(monkeypatch):
+    """band2's x-split panel sharded variant (ref-resident body + dynamic
+    forcing field on (W, P+2H) panel buffers): 256-wide grid in two
+    128-column panels, 2 shards, two fused passes + a 3-step tail,
+    forcing row in the last shard's interior."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    params, obstacles = _band_case(64, 256, 19)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band2"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band2_panel_forcing_row_wrap(monkeypatch):
+    """4 shards x panels: the forced row sits in the last shard's interior
+    AND in shard 0's wrapped top halo; the panel variant's am_all field
+    must force both copies including the x-halo columns."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    params, obstacles = _band_case(128, 256, 8)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band2"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+
+
+def test_sharded_band2_panel_c16(monkeypatch):
+    """c16 companded storage through the sharded panel band2 step tracks
+    the f32 run at the storage format's resolution."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_BAND_PANEL", "128")
+    params, obstacles = _band_case(64, 256, 16)
+    f32 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band2"
+    )
+    c16 = run_simulation_sharded(
+        params, obstacles, n_devices=2, backend="band2", dtype="c16"
+    )
+    assert c16.cells.dtype == np.float32
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
