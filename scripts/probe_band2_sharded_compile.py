@@ -15,8 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lbm_tpu.ops.pallas_band import nobst_ext_local
-from lbm_tpu.ops.pallas_band2 import step_band2_sharded
+from lbm_tpu.ops.pallas_band import nobst_ext_local, nobst_ext_local_panel
+from lbm_tpu.ops.pallas_band2 import (
+    step_band2_sharded,
+    step_band2_sharded_panel,
+)
 
 
 def run_shape(rows, nx, block, depth, ny_global):
@@ -61,9 +64,59 @@ def run_shape(rows, nx, block, depth, ny_global):
     assert err < 1e-4 and serr < 1e-2
 
 
+def run_shape_panel(rows, nx, block, depth, panel, ny_global, halo=128):
+    rng = np.random.RandomState(0)
+    cells = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, rows, nx).astype(np.float32)
+    )
+    T = depth
+    nblk = rows // block
+    n_compact = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    )
+    s_compact = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    )
+    nob = np.ones((rows, nx), np.float32)
+    nob[3, :] = 0.0
+    padded = jnp.asarray(
+        np.concatenate([np.ones((T, nx), np.float32), nob,
+                        np.ones((T, nx), np.float32)], axis=0)
+    )
+    nob_ext = nobst_ext_local_panel(padded, block, T, panel, halo,
+                                    jnp.float32)
+    r0 = jnp.full((1, 1), ny_global - rows, jnp.int32)  # last shard: forcing
+
+    t0 = time.perf_counter()
+    out, sums = step_band2_sharded_panel(
+        cells, n_compact, s_compact, nob_ext, r0,
+        0.1, 0.005, 1.85, block, T, panel, ny_global, halo, interpret=False,
+    )
+    val = float(jnp.sum(sums))
+    compile_and_run = time.perf_counter() - t0
+
+    want, wsums = step_band2_sharded_panel(
+        cells, n_compact, s_compact, nob_ext, r0,
+        0.1, 0.005, 1.85, block, T, panel, ny_global, halo, interpret=True,
+    )
+    err = float(jnp.abs(out - want).max())
+    serr = abs(val - float(jnp.sum(wsums)))
+    print(f"panel rows={rows} nx={nx} B={block} T={T} P={panel}: ok, "
+          f"{compile_and_run:.1f}s, max|tpu-interp|={err:.3g}, "
+          f"sum diff={serr:.3g}", flush=True)
+    assert err < 1e-4 and serr < 1e-2
+
+
 def main():
     # warm the session cheaply
     jax.device_get(jnp.zeros((8, 128)).sum())
+    if "--panel" in sys.argv:
+        # The 8192-wide weak-scaling shard shapes (8 and 4 shards of the
+        # BASELINE config) through the panel-band2 sharded body.
+        for rows, nx, b, t, p, nyg in ((1024, 8192, 128, 8, 2048, 8192),
+                                       (2048, 8192, 128, 8, 2048, 8192)):
+            run_shape_panel(rows, nx, b, t, p, nyg)
+        return 0
     for rows, nx, b, t, nyg in ((512, 4096, 64, 16, 4096),
                                 (1024, 2048, 128, 16, 8192),
                                 (256, 2048, 64, 8, 2048)):
