@@ -1186,14 +1186,18 @@ def pick_config(ny: int, nx: int, dtype=jnp.float32) -> tuple[int, int] | None:
 
 
 def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
-                      halo: int = 128) -> tuple[int, int, int] | None:
+                      halo: int = 128,
+                      t16_special: bool = True) -> tuple[int, int, int] | None:
     """(block, depth, panel) for the panel variant, or None. Enumerates
     fitting configs and picks the lowest redundant-compute ratio
     ``(1 + 2T/B)(1 + 2H/P)`` — the regime this kernel serves is
     compute-bound (BENCHMARKS.md round-3 roofline), so redundancy, not
     traffic, sets the rate; ties break toward deeper T (less traffic).
     ``LBM_BAND_BLOCK`` / ``LBM_BAND_DEPTH`` / ``LBM_BAND_PANEL``
-    override for sweeps."""
+    override for sweeps. ``t16_special=False`` disables the 8192^2 T16
+    shortcut — the SHARDED panel kernels are compile-probed at T8 only
+    (probe_band2_sharded_compile.py), so their pickers must not claim the
+    full-grid-kernel-validated T16 shape (ADVICE r3)."""
     ov_b = os.environ.get("LBM_BAND_BLOCK")
     ov_t = os.environ.get("LBM_BAND_DEPTH")
     ov_p = os.environ.get("LBM_BAND_PANEL")
@@ -1215,7 +1219,8 @@ def pick_config_panel(ny: int, nx: int, dtype=jnp.float32,
     # this toolchain, so they stay T8 (validated-sizes invariant;
     # override triple for sweeps).
     if (
-        (ny, nx) == (8192, 8192)
+        t16_special
+        and (ny, nx) == (8192, 8192)
         and not ov_p
         and jnp.dtype(dtype) == jnp.dtype(jnp.float32)  # c16 T16 unprobed
         and band_panel_supported(ny, nx, 128, 16, 2048, halo, dtype)

@@ -1037,7 +1037,10 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
                 cfg[0], cfg[1], params.ny, interpret=not on_tpu, dev=dev,
                 band2=True,
             )
-        pcfg = band_pick_panel(rows, params.nx, b2_dtype)
+        # t16_special=False: the SHARDED panel-band2 compile is probed at
+        # T8 only (probe_band2_sharded_compile.py --panel); the full-grid
+        # kernel's 8192^2 T16 shortcut must not leak here (ADVICE r3).
+        pcfg = band_pick_panel(rows, params.nx, b2_dtype, t16_special=False)
         if pcfg is None or not band2_panel_supported(
             rows, params.nx, *pcfg, dtype=b2_dtype
         ):
@@ -1078,7 +1081,9 @@ def pick_shard_step(params: LBMParams, n_shards: int, backend: str, dtype,
             return make_sharded_band_step(
                 block, depth, params.ny, interpret=not on_tpu, dev=dev
             )
-        pcfg = band_pick_panel(rows, params.nx, band_dtype)
+        # T8 only, as for band2 above: the sharded panel compile probes
+        # never covered T16 (ADVICE r3).
+        pcfg = band_pick_panel(rows, params.nx, band_dtype, t16_special=False)
         if pcfg is None:
             raise ValueError(
                 f"local grid {rows}x{params.nx} unsupported by the band "

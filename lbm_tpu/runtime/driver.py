@@ -353,9 +353,12 @@ def band2_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None
 def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the ref-resident band kernel (ops/pallas_band2.py).
     Returns None or the ``interpret`` flag. ``auto`` claims the
-    TPU-validated f32 widths (``_BAND2_AUTO_NX``); ``--backend band2``
-    forces it wherever a full-row band config fits. Config comes from the
-    band picker (honors LBM_BAND_* overrides)."""
+    TPU-validated full-row widths (f32 ``_BAND2_AUTO_NX``, c16
+    ``_BAND2_AUTO_NX_C16``) plus the exact TPU-validated panel
+    (grid, config) pairs (``_BAND2_PANEL_AUTO`` / ``_BAND2_PANEL_AUTO_C16``);
+    ``--backend band2`` forces it wherever ``band2_config`` resolves a
+    schedule (full-row band config, else panel config). Config comes from
+    the band pickers (honor LBM_BAND_* overrides)."""
     if backend not in ("auto", "band2"):
         return None
     if jnp.dtype(dtype) not in (

@@ -160,6 +160,12 @@ def test_band_panel_supported_and_pick():
     assert band_panel_supported(8192, 8192, b, t, p)
     # full-width configs are pick_config's job, never the panel picker's
     assert all(pp < 8192 for pp in (p,))
+    # The 8192^2 T16 shortcut applies to the full-grid kernel only; the
+    # sharded pickers pass t16_special=False because their panel compile
+    # probes covered T8 only (ADVICE r3).
+    assert cfg[1] == 16
+    no_special = pick_config_panel(8192, 8192, jnp.float32, t16_special=False)
+    assert no_special is not None and no_special[1] == 8
 
 
 def test_band_panel_backend_in_driver(monkeypatch):
