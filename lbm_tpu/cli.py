@@ -36,10 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("paramfile", help="7-field params file (nx ny maxIters reynolds_dim density accel omega)")
     p.add_argument("obstaclefile", help="obstacle list file ('x y 1' per line)")
+    # The hierarchical slab kernel is a documented negative result (it loses
+    # to band/band2 everywhere by its own affine model, BENCHMARKS.md): it
+    # is quarantined out of the dispatch surface unless LBM_ENABLE_SLAB=1.
+    backends = ["auto", "pallas", "resident", "aa", "temporal", "deep",
+                "band", "band2", "reference", "pallas-overlap"]
+    if os.environ.get("LBM_ENABLE_SLAB") == "1":
+        backends.insert(8, "slab")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "resident", "aa", "temporal", "deep",
-                 "band", "band2", "slab", "reference", "pallas-overlap"],
+        choices=backends,
         default="auto",
         help="step implementation: block-streaming Pallas kernel, VMEM-resident "
         "multi-step kernel (grids that fit on-chip), in-place AA-resident "
@@ -56,10 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["f32", "f64", "bf16", "c16"],
         default="f32",
         help="state dtype: f32 (default, passes the 1%% golden gate), "
-        "f64 (CPU exactness studies), bf16 (opt-in halved-bandwidth mode "
-        "for HBM-bound grids; ~2x faster at >=2048^2, looser accuracy), "
-        "c16 (companded 16-bit deviation storage: bf16's bandwidth with "
-        "golden-gate-passing accuracy; single-device or any mesh)",
+        "f64 (CPU exactness studies), c16 (companded 16-bit deviation "
+        "storage — the supported 16-bit mode: bf16's bandwidth with "
+        "golden-gate-passing accuracy; single-device or any mesh), "
+        "bf16 (EXPERIMENTAL: raw bfloat16 state CANNOT pass the 1%% "
+        "golden gate — av_vels drifts ~100%%; use c16 instead)",
     )
     p.add_argument(
         "--mesh",
@@ -196,6 +203,16 @@ def main(argv=None) -> int:
         "bf16": jnp.bfloat16,
         "c16": "c16",  # normalized inside run_simulation (ops/devspace.py)
     }[args.precision]
+    if args.precision == "bf16":
+        # Demoted to experimental (VERDICT r3): raw bf16 state drifts far
+        # past the checker's 1% tolerance over the official runs; c16 gives
+        # the same HBM traffic with gate-passing accuracy.
+        print(
+            "lbm_tpu: warning: --precision bf16 is EXPERIMENTAL and cannot "
+            "pass the 1% golden gate (av_vels drift ~100% over the official "
+            "runs); use --precision c16 for accurate 16-bit storage",
+            file=sys.stderr,
+        )
 
     if args.verbose:
         print(

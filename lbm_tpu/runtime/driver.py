@@ -282,10 +282,21 @@ def slab_config(params: LBMParams, dtype) -> tuple[int, int, int, int] | None:
 
 def select_slab(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the hierarchical slab kernel (ops/pallas_slab.py).
-    Explicit-only (``--backend slab``) until a TPU A/B lands; returns None
-    or the ``interpret`` flag."""
+
+    QUARANTINED (VERDICT r3): the slab schedule is a documented negative
+    result — compile-blocked on the relay toolchain and predicted to lose
+    to band/band2 everywhere by its own affine traffic model
+    (BENCHMARKS.md "hierarchical slab"). The kernel and its writeup are
+    kept, but the backend is reachable only with ``LBM_ENABLE_SLAB=1`` so
+    the dispatch surface contains only kernels that win somewhere."""
     if backend != "slab":
         return None
+    if os.environ.get("LBM_ENABLE_SLAB") != "1":
+        raise ValueError(
+            "slab backend is quarantined (documented negative result — it "
+            "loses to band/band2 everywhere, BENCHMARKS.md); set "
+            "LBM_ENABLE_SLAB=1 to run it anyway"
+        )
     if jnp.dtype(dtype) not in (
         jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
     ):

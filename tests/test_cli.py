@@ -295,3 +295,20 @@ def test_cli_overlap_backend(tmp_path):
     a = np.loadtxt(tmp_path / "m" / "av_vels.dat", usecols=[1])
     b = np.loadtxt(tmp_path / "r" / "av_vels.dat", usecols=[1])
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_cli_bf16_warns_experimental(tiny_inputs, tmp_path, capsys):
+    """VERDICT r3 item 4: bf16 is demoted to experimental — the CLI must
+    warn loudly that it cannot pass the 1% golden gate (c16 is the
+    supported 16-bit mode)."""
+    params, obstacles = tiny_inputs
+    rc = main([params, obstacles, "--backend", "reference",
+               "--precision", "bf16", "--out-dir", str(tmp_path / "o")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "EXPERIMENTAL" in err and "c16" in err
+    # ... and the supported modes stay silent.
+    rc = main([params, obstacles, "--backend", "reference",
+               "--precision", "c16", "--out-dir", str(tmp_path / "o2")])
+    assert rc == 0
+    assert "EXPERIMENTAL" not in capsys.readouterr().err

@@ -87,6 +87,7 @@ def test_slab_backend_in_driver(monkeypatch):
 
     params = dataclasses.replace(PARAMS, ny=96, max_iters=32)
     _, obstacles = make_setup(params)
+    monkeypatch.setenv("LBM_ENABLE_SLAB", "1")  # quarantined backend
     monkeypatch.setenv("LBM_BAND_BLOCK", "16")
     monkeypatch.setenv("LBM_BAND_DEPTH", "8")
     monkeypatch.setenv("LBM_SLAB_K", "2")
@@ -98,10 +99,30 @@ def test_slab_backend_in_driver(monkeypatch):
     np.testing.assert_allclose(slab.av_vels, ref.av_vels, rtol=5e-5)
 
 
-def test_slab_rejects_unsupported():
+def test_slab_rejects_unsupported(monkeypatch):
     from lbm_tpu.runtime.driver import run_simulation
 
+    monkeypatch.setenv("LBM_ENABLE_SLAB", "1")
     params = dataclasses.replace(PARAMS, ny=32)
     obstacles = np.zeros((params.ny, params.nx), dtype=np.int32)
     with pytest.raises(ValueError, match="slab"):
         run_simulation(params, obstacles, backend="slab")
+
+
+def test_slab_quarantined_by_default(monkeypatch):
+    """VERDICT r3 item 5: the slab kernel is a documented negative result;
+    without LBM_ENABLE_SLAB=1 the backend errors loudly and the CLI does
+    not list it."""
+    from lbm_tpu.cli import build_parser
+    from lbm_tpu.runtime.driver import run_simulation
+
+    monkeypatch.delenv("LBM_ENABLE_SLAB", raising=False)
+    params = dataclasses.replace(PARAMS, ny=96, max_iters=8)
+    _, obstacles = make_setup(params)
+    with pytest.raises(ValueError, match="quarantined"):
+        run_simulation(params, obstacles, backend="slab")
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["a", "b", "--backend", "slab"])
+    monkeypatch.setenv("LBM_ENABLE_SLAB", "1")
+    args = build_parser().parse_args(["a", "b", "--backend", "slab"])
+    assert args.backend == "slab"
