@@ -39,6 +39,12 @@ def sync(x) -> None:
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
+@jax.jit
+def _max_abs_code(q):
+    """Max |companded int16 code| of a c16 state — the saturation probe."""
+    return jnp.max(jnp.abs(q.astype(jnp.int32)))
+
+
 @functools.partial(jax.jit, static_argnames=("ny", "nx"))
 def _unpack_obstacles(packed, ny, nx):
     # np.packbits bit order: byte b holds cells 8b..8b+7 at bits 7..0.
@@ -1137,13 +1143,18 @@ def run_simulation(
             )
 
     final_cells = np.asarray(as_full(cells)) if fetch_final else None
-    if dev_spec is not None and fetch_final:
-        from lbm_tpu.ops.devspace import max_abs_deviation
+    if dev_spec is not None:
+        from lbm_tpu.ops.devspace import LIM
 
         # Saturation check (failure detection): H leaves ~4x headroom over
         # the observed per-config maxima; a final state near the clamp means
         # the companding range was exceeded mid-run and accuracy is suspect.
-        md = max_abs_deviation(final_cells, dev_spec)
+        # Runs on EVERY c16 run — including fetch_final=False timing runs
+        # (VERDICT r3 item 9): the companded decode is monotone in |q|, so
+        # max|deviation| derives from an on-device int16 |max| reduction and
+        # one scalar fetch, never a state transfer.
+        maxq = float(_max_abs_code(cells))
+        md = (maxq / LIM) ** 2 * dev_spec.h
         if md > 0.5 * dev_spec.h:
             import warnings
 

@@ -189,6 +189,18 @@ def test_c16_saturation_warns():
                        initial_cells=big)
 
 
+def test_c16_saturation_warns_without_fetch():
+    """The saturation guard also fires on fetch_final=False timing runs —
+    it derives max|deviation| from the on-device int16 codes, never the
+    full state fetch (VERDICT r3 item 9)."""
+    p, obs = _small(iters=2)
+    big = np.full((9, p.ny, p.nx), 0.5, np.float32)
+    with pytest.warns(UserWarning, match="saturated"):
+        res = run_simulation(p, obs, backend="pallas", dtype="c16",
+                             initial_cells=big, fetch_final=False)
+    assert res.cells is None
+
+
 def test_c16_dispatch_policy(monkeypatch):
     """On (fake) TPU: c16 follows the 16-bit block/temporal policy — block
     below 1 GB, temporal at >= 1 GB up to the probed width."""
