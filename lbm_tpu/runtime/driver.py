@@ -112,6 +112,31 @@ def select_resident(params: LBMParams, backend: str, dtype) -> bool | None:
     return False if (fits and on_tpu) else None
 
 
+def toolchain() -> str:
+    """Compile-toolchain profile for auto dispatch (``LBM_TOOLCHAIN``).
+
+    ``relay`` (default): this mount's remote-compile helper, whose caps
+    were measured the hard way — ~91-107 MB total kernel VMEM
+    (bench_r2_tpu15.json), 16-bit AA compile failures at nx >= 1280,
+    band2/panel widths validated shape-by-shape. Auto dispatch claims
+    only the validated sizes (the tables below).
+
+    ``standard``: a stock libtpu/Mosaic toolchain with the full 128 MB
+    VMEM and no helper caps — auto dispatch lifts the relay tables to
+    the DESIGN limits (each kernel's own capability check still gates).
+    Routing under this profile is untested on this mount by definition;
+    it exists so the framework is portable off the relay (VERDICT r3
+    item 3) — the analogue of the reference adapting to whatever OpenCL
+    device it finds (d2q9-bgk.c:950-1007).
+    """
+    tc = os.environ.get("LBM_TOOLCHAIN", "relay")
+    if tc not in ("relay", "standard"):
+        raise ValueError(
+            f"LBM_TOOLCHAIN={tc!r}: expected 'relay' or 'standard'"
+        )
+    return tc
+
+
 # Auto-dispatch ceiling for the AA kernel on this relay toolchain: the
 # compile helper caps the TOTAL kernel VMEM footprint at ~91-107 MB
 # (bench_r2_tpu15.json), and the tile picker budgets temporaries to fit —
@@ -170,6 +195,7 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     if not (fits and on_tpu):
         return None
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
+    std = toolchain() == "standard"
     if jnp.dtype(dtype) == jnp.dtype(jnp.int16):
         # c16 AA probed on TPU (bench_r3_aac16.json): 1024-wide compiles
         # and runs, but nx >= 1280 fails the relay compile helper exactly
@@ -177,13 +203,20 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
         # interesting sizes (1536^2-2048^2, where c16 residency would
         # beat the band kernel) are toolchain-blocked. Below 1280 the f32
         # AA kernel is already resident and faster, so auto never prefers
-        # c16 AA; explicit ``--backend aa`` remains available.
-        return None
+        # c16 AA; explicit ``--backend aa`` remains available. A standard
+        # toolchain has no 16-bit width cap: c16 AA claims its whole
+        # design regime (residency extends to 2x the f32 grid area).
+        return False if std else None
     if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
         # AA beats the bf16 block kernel +53-64% where it compiles
-        # (bench_r2_tpu9.json); above the validated size it falls back.
+        # (bench_r2_tpu9.json); above the relay-validated size it falls
+        # back. Standard toolchain: the whole aa_supported regime.
+        if std:
+            return False
         return False if state_bytes <= _AA_AUTO_MAX_STATE_BF16 else None
     del resident_supported  # ping-pong remains available via --backend resident
+    if std:
+        return False  # aa_supported already gated the design VMEM limit
     return False if state_bytes <= _AA_AUTO_MAX_STATE else None
 
 
@@ -398,7 +431,15 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
     if not fits:
         return None
     on_tpu = jax.devices()[0].platform == "tpu"
-    if cfg[2] is None:  # full-row shapes, keyed by lane width
+    std = toolchain() == "standard"
+    if std:
+        # Standard toolchain: no per-shape compile validation needed —
+        # any resolved f32/c16 schedule is claimable (bf16 stays
+        # explicit-only: it cannot pass the golden gate).
+        probed = jnp.dtype(dtype) in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.int16)
+        )
+    elif cfg[2] is None:  # full-row shapes, keyed by lane width
         probed = (
             (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
              and params.nx in _BAND2_AUTO_NX)
@@ -414,17 +455,67 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
             table = {}
         probed = table.get((params.ny, params.nx)) == cfg
     # Defer to AA only where AA's auto policy actually claims the run
-    # (f32 within the validated VMEM-residency ceiling); c16 AA is
-    # explicit-only, so probed c16 widths route band2 at ANY state size
-    # (1536^2 c16 is 42.5 MB — under the f32 AA cap, but AA never takes it).
+    # (relay: f32 within the validated VMEM-residency ceiling — c16 AA is
+    # explicit-only there, so probed c16 widths route band2 at ANY state
+    # size; standard: AA claims its whole aa_supported regime for f32 and
+    # c16, mirroring select_aa).
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
-    aa_claims = (
-        jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-        and state_bytes <= _AA_AUTO_MAX_STATE
-    )
+    if std:
+        from lbm_tpu.ops.pallas_aa import aa_supported
+
+        aa_claims = (
+            jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16)
+            and aa_supported(params.ny, params.nx, dtype)
+        )
+    else:
+        aa_claims = (
+            jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and state_bytes <= _AA_AUTO_MAX_STATE
+        )
     if fits and on_tpu and probed and not aa_claims:
         return False
     return None
+
+
+def band3_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
+    """Resolve the in-place AA-pattern band schedule ``(block, depth,
+    panel)`` (ops/pallas_band3.py): the full-row pick when one fits the
+    single-buffer budget, else the panel pick, else None. band3's own
+    picker (LBM_BAND3_* overrides) — the halved scratch admits larger
+    blocks than the band/band2 pickers would choose."""
+    from lbm_tpu.ops.pallas_band3 import pick_config3, pick_config3_panel
+
+    cfg = pick_config3(params.ny, params.nx, dtype)
+    if cfg is not None:
+        return (*cfg, None)
+    pcfg = pick_config3_panel(params.ny, params.nx, dtype)
+    return None if pcfg is None else pcfg
+
+
+def select_band3(params: LBMParams, backend: str, dtype) -> bool | None:
+    """Whether to use the in-place AA-pattern band kernel
+    (ops/pallas_band3.py). Returns None or the ``interpret`` flag.
+
+    Explicit-only (``--backend band3``) until the TPU compile/perf probes
+    land (the validated-sizes invariant: auto claims only measured
+    shapes); the round-4 A/B vs band2 decides its auto routing."""
+    if backend not in ("auto", "band3"):
+        return None
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int16)
+    ):
+        if backend == "band3":
+            raise ValueError("band3 backend stores f32/bf16/c16 only")
+        return None
+    if backend != "band3":
+        return None  # auto never picks band3 yet (unprobed on TPU)
+    if band3_config(params, dtype) is None:
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} unsupported by the band3 kernel "
+            "(needs a fitting single-buffer band config; tune "
+            "LBM_BAND3_BLOCK / LBM_BAND3_DEPTH / LBM_BAND3_PANEL)"
+        )
+    return jax.devices()[0].platform != "tpu"
 
 
 # Panel-variant widths with a relay-validated compile. 8192^2: f32 AND
@@ -456,8 +547,9 @@ def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
     from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
     from lbm_tpu.ops.pallas_resident import resident_supported
 
+    std = toolchain() == "standard"
     fits = pick_config(params.ny, params.nx, dtype) is not None or (
-        params.nx in _BAND_PANEL_AUTO_NX
+        (std or params.nx in _BAND_PANEL_AUTO_NX)
         and pick_config_panel(params.ny, params.nx, dtype) is not None
     )
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -471,7 +563,8 @@ def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
         _BAND_AUTO
         and fits
         and on_tpu
-        and _BAND_MIN_NX <= params.nx <= _BAND_MAX_NX
+        and _BAND_MIN_NX <= params.nx
+        and (std or params.nx <= _BAND_MAX_NX)
     ):
         return None
     if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
@@ -510,7 +603,8 @@ def select_deep(params: LBMParams, backend: str, dtype) -> bool | None:
         _DEEP_AUTO
         and fits
         and on_tpu
-        and _DEEP_MIN_NX <= params.nx <= _DEEP_MAX_NX
+        and _DEEP_MIN_NX <= params.nx
+        and (toolchain() == "standard" or params.nx <= _DEEP_MAX_NX)
     ):
         return None
     # auto: f32 and c16 claim the whole non-resident (HBM-bound) regime at
@@ -564,7 +658,8 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
             fits
             and on_tpu
             and state_bytes >= _TEMPORAL_BF16_MIN_STATE
-            and params.nx <= _TEMPORAL_BF16_MAX_NX
+            and (toolchain() == "standard"
+                 or params.nx <= _TEMPORAL_BF16_MAX_NX)
         ):
             return False
         return None
@@ -763,6 +858,29 @@ def _run_band(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
+                     "block", "depth", "panel", "paired", "dev"),
+    donate_argnums=(0,),
+)
+def _run_band3(cells, obstacles, inv_tot_cells, n_iters, density, accel,
+               omega, interpret, block, depth, panel=None, paired=True,
+               dev=None):
+    # knobs resolved by the caller OUTSIDE jit.
+    from lbm_tpu.ops.pallas_band3 import run_band3
+
+    if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
+        cells = cells.astype(jnp.float32)
+    nobst = (obstacles == 0).astype(cells.dtype)
+    cells, tot_u = run_band3(
+        cells, nobst, density, accel, omega, n_iters,
+        block, depth, panel=panel, interpret=interpret, paired=paired,
+        dev=dev,
+    )
+    return cells, tot_u * inv_tot_cells
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "density", "accel", "omega", "interpret",
                      "block", "depth", "kpasses", "sblock", "paired", "dev"),
     donate_argnums=(0,),
 )
@@ -923,25 +1041,24 @@ def run_simulation(
     # runs the HBM-traffic-bound kernels; c16 AA is explicit-only.
     aa_interpret = select_aa(params, backend, dtype)
     slab_interpret = select_slab(params, backend, dtype)  # explicit-only
-    band2_interpret = select_band2(params, backend, dtype)  # explicit-only
+    band2_interpret = select_band2(params, backend, dtype)
+    band3_interpret = select_band3(params, backend, dtype)  # explicit-only
     resident_interpret = None
     band_interpret = None
     deep_interpret = None
     temporal_interpret = None
-    if aa_interpret is None and slab_interpret is None and band2_interpret is None and dev_spec is None:
+    claimed = (aa_interpret is not None or slab_interpret is not None
+               or band2_interpret is not None or band3_interpret is not None)
+    if not claimed and dev_spec is None:
         resident_interpret = select_resident(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
-            and resident_interpret is None):
+    if not claimed and resident_interpret is None:
         band_interpret = select_band(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
-            and resident_interpret is None and band_interpret is None):
+    if not claimed and resident_interpret is None and band_interpret is None:
         deep_interpret = select_deep(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
-            and resident_interpret is None and band_interpret is None
+    if (not claimed and resident_interpret is None and band_interpret is None
             and deep_interpret is None):
         temporal_interpret = select_temporal(params, backend, dtype)
-    if (aa_interpret is None and slab_interpret is None and band2_interpret is None
-            and resident_interpret is None and band_interpret is None
+    if (not claimed and resident_interpret is None and band_interpret is None
             and deep_interpret is None and temporal_interpret is None):
         step_fn, _ = select_step_fn(params, backend, dtype)
     else:
@@ -1022,6 +1139,18 @@ def run_simulation(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=band2_interpret, block=b2_block, depth=b2_depth,
                 panel=b2_panel, dev=dev_tuple, **common,
+            )
+        if band3_interpret is not None:
+            b3_dtype = (
+                dtype
+                if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
+                else jnp.float32
+            )
+            b3_block, b3_depth, b3_panel = band3_config(params, b3_dtype)
+            return _run_band3.lower(
+                cells, obstacles_dev, inv_tot_cells,
+                interpret=band3_interpret, block=b3_block, depth=b3_depth,
+                panel=b3_panel, dev=dev_tuple, **common,
             )
         if band_interpret is not None:
             from lbm_tpu.ops.pallas_band import (

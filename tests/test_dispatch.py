@@ -180,3 +180,65 @@ def test_forced_band2():
     assert driver.select_band2(p(2048, 2048), "band2", jnp.float32) is True
     with pytest.raises(ValueError, match="f32/bf16/c16"):
         driver.select_band2(p(2048, 2048), "band2", jnp.float64)
+
+
+# --- LBM_TOOLCHAIN=standard: relay caps lifted to the design limits ------
+# (VERDICT r3 item 3: the relay tables encode THIS mount's broken compile
+# helper; a stock libtpu toolchain routes by each kernel's own capability
+# check instead.)
+
+
+@pytest.fixture
+def std(monkeypatch):
+    monkeypatch.setenv("LBM_TOOLCHAIN", "standard")
+
+
+def test_toolchain_validates(monkeypatch):
+    assert driver.toolchain() == "relay"  # default
+    monkeypatch.setenv("LBM_TOOLCHAIN", "standard")
+    assert driver.toolchain() == "standard"
+    monkeypatch.setenv("LBM_TOOLCHAIN", "cuda")
+    with pytest.raises(ValueError, match="LBM_TOOLCHAIN"):
+        driver.toolchain()
+
+
+def test_standard_aa_claims_design_regime(on_tpu, std):
+    # f32 AA extends to the full aa_supported budget (100 MB state):
+    # 1536^2 = 85 MB claims; 2048^2 = 144 MB exceeds the single-copy VMEM
+    # budget on any toolchain.
+    assert driver.select_aa(p(1536, 1536), "auto", jnp.float32) is False
+    assert driver.select_aa(p(2048, 2048), "auto", jnp.float32) is None
+    # 16-bit AA has no width cap off the relay: c16 residency doubles the
+    # resident grid area (2048^2 c16 = 75.5 MB).
+    assert driver.select_aa(p(2048, 2048), "auto", jnp.int16) is False
+    assert driver.select_aa(p(1280, 1280), "auto", jnp.bfloat16) is False
+
+
+def test_standard_band2_claims_any_resolved_config(on_tpu, std):
+    # No per-shape compile tables: any resolved f32/c16 schedule routes
+    # band2 (beyond the AA-resident regime), including widths this mount
+    # never probed.
+    assert driver.select_band2(p(9216, 9216), "auto", jnp.float32) is False
+    assert driver.select_band2(p(2048, 2048), "auto", jnp.float32) is False
+    # ... but where AA's standard policy claims the run, band2 defers:
+    # 2048^2 c16 is VMEM-resident on a standard toolchain.
+    assert driver.select_band2(p(2048, 2048), "auto", jnp.int16) is None
+    assert driver.select_band2(p(8192, 8192), "auto", jnp.int16) is False
+    # bf16 stays explicit-only under every profile (golden-gate hazard).
+    assert driver.select_band2(p(2048, 2048), "auto", jnp.bfloat16) is None
+
+
+def test_standard_band_and_deep_lift_width_caps(on_tpu, std):
+    assert driver.select_band(p(9216, 9216), "auto", jnp.float32) is False
+    assert driver.select_deep(p(8192, 16384), "auto", jnp.float32) is False
+
+
+def test_standard_temporal_bf16_lifts_width_cap(on_tpu, std):
+    assert driver.select_temporal(p(8192, 16384), "auto", jnp.bfloat16) is False
+
+
+def test_standard_relay_default_unchanged(on_tpu):
+    # Without the env knob the relay tables still govern (the validated-
+    # sizes invariant).
+    assert driver.select_aa(p(1536, 1536), "auto", jnp.float32) is None
+    assert driver.select_band2(p(9216, 9216), "auto", jnp.float32) is None
