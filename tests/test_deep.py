@@ -18,8 +18,19 @@ from lbm_tpu.ops.pallas_deep import deep_supported, pick_config, run_deep
 from test_temporal import PARAMS, make_setup, oracle_run
 
 
-@pytest.mark.parametrize("block", [16, 32])
-@pytest.mark.parametrize("steps", [8, 16, 19])  # incl. a 3-step block tail
+# Smoke row (16, 19) stays default (remainder tail + small block); the rest
+# of the matrix is kernelmatrix-tiered (VERDICT r3 item 10).
+@pytest.mark.parametrize(
+    "block,steps",
+    [
+        pytest.param(16, 8, marks=pytest.mark.kernelmatrix),
+        pytest.param(16, 16, marks=pytest.mark.kernelmatrix),
+        (16, 19),
+        pytest.param(32, 8, marks=pytest.mark.kernelmatrix),
+        pytest.param(32, 16, marks=pytest.mark.kernelmatrix),
+        pytest.param(32, 19, marks=pytest.mark.kernelmatrix),
+    ],
+)
 def test_deep_t8_matches_oracle(block, steps):
     params = dataclasses.replace(PARAMS, max_iters=steps)
     state, obstacles = make_setup(params)
@@ -72,6 +83,8 @@ def test_pick_config(monkeypatch):
     assert pick_config(4096, 4096, jnp.float32) is None
 
 
+@pytest.mark.kernelmatrix  # 12+ min in interpret mode; the c16 composition
+# is default-covered by the temporal/band2/band3 c16 tests
 def test_deep_c16_close_to_f32():
     """c16 composition: same pass structure, companded storage between
     passes (T=16 — the 16-bit strip minimum)."""

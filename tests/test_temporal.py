@@ -48,8 +48,20 @@ def test_temporal_t2_matches_oracle(steps, block):
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
 
 
-@pytest.mark.parametrize("depth", [3, 4])
-@pytest.mark.parametrize("steps", [4, 9, 11])  # incl. tails of 1..3 odd steps
+# Smoke row (3, 4) stays default; the rest of the depth-3/4 matrix is
+# kernelmatrix-tiered (VERDICT r3 item 10) — depth-4 driver coverage stays
+# via test_temporal_backend_depth_env / test_temporal_backend_in_driver.
+@pytest.mark.parametrize(
+    "depth,steps",
+    [
+        (3, 4),
+        pytest.param(3, 9, marks=pytest.mark.kernelmatrix),
+        pytest.param(3, 11, marks=pytest.mark.kernelmatrix),
+        pytest.param(4, 4, marks=pytest.mark.kernelmatrix),
+        pytest.param(4, 9, marks=pytest.mark.kernelmatrix),
+        pytest.param(4, 11, marks=pytest.mark.kernelmatrix),
+    ],
+)
 def test_temporal_deep_matches_oracle(depth, steps):
     """Depth-3/4 fused passes, including remainder tails (VERDICT r1 #2)."""
     params = dataclasses.replace(PARAMS, max_iters=steps)
