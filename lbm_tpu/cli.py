@@ -40,9 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     # to band/band2 everywhere by its own affine model, BENCHMARKS.md): it
     # is quarantined out of the dispatch surface unless LBM_ENABLE_SLAB=1.
     backends = ["auto", "pallas", "resident", "aa", "temporal", "deep",
-                "band", "band2", "reference", "pallas-overlap"]
+                "band", "band2", "band3", "reference", "pallas-overlap"]
     if os.environ.get("LBM_ENABLE_SLAB") == "1":
-        backends.insert(8, "slab")
+        backends.insert(9, "slab")
     p.add_argument(
         "--backend",
         choices=backends,
@@ -54,8 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
         "state-view temporal kernel (T>=8, halo strips read from the input "
         "state), band kernel (fixed-buffer deep blocking, in-kernel T=16-32 "
         "step loop; with --mesh N, communication-avoiding T-steps-per-"
-        "ppermute sharding), jnp reference, auto, or pallas-overlap (sharded "
-        "runs only: in-kernel RDMA halo exchange)",
+        "ppermute sharding), band2 (band schedule + resident ping-pong "
+        "body), band3 (band schedule + in-place AA body on ONE buffer), "
+        "jnp reference, auto, or pallas-overlap (sharded runs only: "
+        "in-kernel RDMA halo exchange)",
     )
     p.add_argument(
         "--precision",

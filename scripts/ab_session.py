@@ -17,7 +17,7 @@ Usage:
 SPEC is ``tag:key=val[,key=val...]`` with keys:
     size      square grid edge (or nx=/ny= separately)   [required]
     iters     timestep count                              [required]
-    backend   auto|aa|resident|temporal|deep|band|band2|slab|pallas|reference [auto]
+    backend   auto|aa|resident|temporal|deep|band|band2|band3|slab|pallas|reference [auto]
     dtype     f32|bf16|f64|c16                            [f32]
     depth/block for deep, band, and slab map to LBM_DEEP_*/LBM_BAND_*
     slabk/slabs  slab passes-per-visit / slab rows (LBM_SLAB_K/LBM_SLAB_S)
@@ -62,6 +62,7 @@ _ENV_KEYS = (
     "LBM_AA_TILE", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
     "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
+    "LBM_BAND3_DEPTH", "LBM_BAND3_BLOCK", "LBM_BAND3_PANEL",
     "LBM_SLAB_K", "LBM_SLAB_S",
 )
 
@@ -105,6 +106,7 @@ def variant_env(v: dict) -> dict:
     depth_knob = {
         "deep": "LBM_DEEP_DEPTH", "band": "LBM_BAND_DEPTH",
         "slab": "LBM_BAND_DEPTH", "band2": "LBM_BAND_DEPTH",
+        "band3": "LBM_BAND3_DEPTH",
     }.get(v["backend"], "LBM_TEMPORAL_DEPTH")
     if "depth" in v:
         env[depth_knob] = str(v["depth"])
@@ -112,6 +114,7 @@ def variant_env(v: dict) -> dict:
         knob = {
             "deep": "LBM_DEEP_BLOCK", "band": "LBM_BAND_BLOCK",
             "slab": "LBM_BAND_BLOCK", "band2": "LBM_BAND_BLOCK",
+            "band3": "LBM_BAND3_BLOCK",
         }.get(v["backend"])
         if knob is None:
             knob = (
@@ -123,7 +126,8 @@ def variant_env(v: dict) -> dict:
     if "tile" in v:
         env["LBM_AA_TILE"] = str(v["tile"])
     if "panel" in v:
-        env["LBM_BAND_PANEL"] = str(v["panel"])
+        env["LBM_BAND3_PANEL" if v["backend"] == "band3"
+            else "LBM_BAND_PANEL"] = str(v["panel"])
     if "collide" in v:
         env["LBM_COLLIDE"] = v["collide"]
     if "rowforce" in v:
