@@ -362,7 +362,7 @@ def stream_planes(cells, sign: int = 1):
 
 
 def run_aa(cells, nobst, density, accel, omega, n_iters, *,
-           interpret=False, paired=None, tile=None, dev=None):
+           interpret=False, paired=None, tile=None, dev=None, chunk=None):
     """Run ``n_iters`` steps with the in-place AA-resident kernel.
 
     Same contract as ``pallas_resident.run_resident``: returns
@@ -372,6 +372,11 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     trace (see driver._run_aa). ``dev = (bg0..bg8, h)`` enables c16
     companded int16 storage (ops/devspace.py) — ``cells`` then holds the
     encoded deviations and VMEM residency reaches ~2x the f32 grid area.
+    ``chunk`` (even) overrides the steps-per-kernel-invocation (None →
+    ``_CHUNK_STEPS``): small grids amortize the per-invocation launch
+    cost over more steps (the 128^2 official config at chunk 254 pays
+    ~157 launches over 40k steps — the VERDICT r3 item-6 suspect);
+    jitted callers resolve ``LBM_AA_CHUNK`` outside the trace.
     """
     _, ny, nx = cells.shape
     if not aa_supported(ny, nx, cells.dtype):
@@ -397,13 +402,17 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     state = stream_planes(cells)  # R -> S, once per run
     if tile is None:
         tile = _pick_tile(ny, nx, jnp.dtype(cells.dtype).itemsize)
-    n_full = n_iters // _CHUNK_STEPS
-    rem = n_iters - n_full * _CHUNK_STEPS
+    if chunk is None:
+        chunk = _CHUNK_STEPS
+    elif chunk < 2 or chunk % 2:
+        raise ValueError(f"AA chunk must be even and >= 2, got {chunk}")
+    n_full = n_iters // chunk
+    rem = n_iters - n_full * chunk
     tot_u = jnp.zeros((n_iters,), jnp.float32)
 
     if n_full:
         call = _make_aa_call(
-            ny, nx, _CHUNK_STEPS, w1a, w2a, omega, interpret,
+            ny, nx, chunk, w1a, w2a, omega, interpret,
             cells.dtype.name, paired, tile, dev,
         )
 
@@ -411,7 +420,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
             state, tot_u = carry
             state, av = call(state, nobst, owner)
             tot_u = jax.lax.dynamic_update_slice(
-                tot_u, av[:, 0], (j * _CHUNK_STEPS,)
+                tot_u, av[:, 0], (j * chunk,)
             )
             return state, tot_u
 
@@ -423,7 +432,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
         )
         state, av = call(state, nobst, owner)
         tot_u = jax.lax.dynamic_update_slice(
-            tot_u, av[:, 0], (n_full * _CHUNK_STEPS,)
+            tot_u, av[:, 0], (n_full * chunk,)
         )
     if rem % 2:
         cells = state[jnp.asarray(_OPP)]  # C -> R: plane permutation

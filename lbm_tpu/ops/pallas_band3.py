@@ -139,13 +139,20 @@ def force_s(state, nobst, w1a: float, w2a: float, owner=1.0):
 
 
 def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
-               sums_cols=None):
+               sums_cols=None, probe=""):
     """Shared even/odd step bodies over a (9, W, width) scratch ref.
 
     ``WX_roll`` is the lane-roll width (nx for full-row, P+2H for panels);
     ``sums_cols = (H, H+P)`` restricts the reduction window for panels.
     Returns (even_step, odd_step) closures over (s_ref, nob_all, nob_b_all,
-    gates, sums_write)."""
+    gates, sums_write).
+
+    ``probe`` selects compile-isolation variants (WRONG PHYSICS — only for
+    scripts/probe_band3_compile.py to bisect which structural feature the
+    relay compile helper rejects): "noforce" skips force_odd, "nofuse"
+    skips the fused forcing, "alignedscatter" writes the odd scatter at
+    the tile origin instead of r0+cy, "noscatterwrap" clamps scatter
+    writes to in-range rows (no split stores)."""
     W = B + 2 * T
     ntiles = W // tile_w
     wgt = {1: w1a, 2: w2a}
@@ -198,6 +205,8 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
 
         def force_odd():
             """C-space forcing: plane k lives at slot opp(k), row pos."""
+            if probe == "noforce":
+                return
             for pos, gate in positions:
                 m = (
                     (row(_OPP[3], pos) - w1a > 0.0)
@@ -245,11 +254,17 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
                     jnp.where(nob_b, relaxed[k], t[_OPP[k]]) for k in range(9)
                 ]
                 for k in range(9):
-                    write(k, r0 + _CYS[k], shift_x(outs[k], _CXS[k]))
+                    if probe == "alignedscatter":
+                        write(k, r0, shift_x(outs[k], _CXS[k]))
+                    elif probe == "noscatterwrap":
+                        lo = min(max(r0 + _CYS[k], 0), W - tile_w)
+                        write(k, lo, shift_x(outs[k], _CXS[k]))
+                    else:
+                        write(k, r0 + _CYS[k], shift_x(outs[k], _CXS[k]))
                 # Fused next-step S-space forcing: m at lane x equals the
                 # positivity test on cell (pos, x)'s outputs (the scatter
                 # writes exactly the S rows force_even would read).
-                if fuse:
+                if fuse and probe != "nofuse":
                     for pos, gate in positions:
                         if not (r0 <= pos < r0 + tile_w):
                             continue
@@ -276,11 +291,30 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
     return build
 
 
+class _PlaneView:
+    """state[k, ...] views dispatching to per-plane scratch refs (the
+    pallas_aa allocation shape — probe='perplane' tests whether Mosaic
+    accepts the in-place pattern on 2-D refs where the 3-D one fails)."""
+
+    def __init__(self, planes):
+        self.planes = planes
+
+    def __getitem__(self, idx):
+        k, *rest = idx
+        return self.planes[k][tuple(rest) if len(rest) > 1 else rest[0]]
+
+    def __setitem__(self, idx, val):
+        k, *rest = idx
+        self.planes[k][tuple(rest) if len(rest) > 1 else rest[0]] = val
+
+
 def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
-             out_ref, sums_ref, s_ref,
-             *, block: int, nblk: int, depth: int, nx: int, tile_w: int,
+             out_ref, sums_ref, *scratch,
+             block: int, nblk: int, depth: int, nx: int, tile_w: int,
              w1a: float, w2a: float, omega: float, out_dtype,
-             paired: bool = True, dev=None, fuse_last: bool = True):
+             paired: bool = True, dev=None, fuse_last: bool = True,
+             probe: str = ""):
+    s_ref = scratch[0] if len(scratch) == 1 else _PlaneView(scratch)
     i = pl.program_id(0)
     B, T = block, depth
     W = B + 2 * T
@@ -309,10 +343,24 @@ def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
     even_step, odd_step = _make_body(
         B=B, T=T, WX_roll=nx, tile_w=tile_w,
-        w1a=w1a, w2a=w2a, omega=omega, paired=paired,
+        w1a=w1a, w2a=w2a, omega=omega, paired=paired, probe=probe,
     )(s_ref, nob_all, nob_b_all, gate_last, gate_first, sums_write)
 
-    if fuse_last:
+    if probe == "evensonly":   # compile-isolation: local in-place body only
+        def two_steps(h, carry):
+            even_step(2 * h)
+            even_step(2 * h + 1)
+            return carry
+
+        jax.lax.fori_loop(0, T // 2, two_steps, 0)
+    elif probe == "oddsonly":  # compile-isolation: gather/scatter body only
+        def two_steps(h, carry):
+            odd_step(2 * h, True)
+            odd_step(2 * h + 1, True)
+            return carry
+
+        jax.lax.fori_loop(0, T // 2, two_steps, 0)
+    elif fuse_last:
         def two_steps(h, carry):
             even_step(2 * h)
             odd_step(2 * h + 1, True)
@@ -342,7 +390,7 @@ def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-                paired=True, dev=None, fuse_last=True):
+                paired=True, dev=None, fuse_last=True, probe=""):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -355,7 +403,7 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     kern = functools.partial(
         _kernel3, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev, fuse_last=fuse_last,
+        dev=dev, fuse_last=fuse_last, probe=probe,
     )
     return pl.pallas_call(
         kern,
@@ -382,9 +430,11 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
             jax.ShapeDtypeStruct((nblk, T), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((9, W, nx), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((W, nx), jnp.float32) for _ in range(9)]
+            if probe == "perplane"
+            else [pltpu.VMEM((9, W, nx), jnp.float32)]
+        ),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(

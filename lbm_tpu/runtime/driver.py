@@ -809,16 +809,25 @@ def _run_resident(cells, obstacles, inv_tot_cells, n_iters, density, accel, omeg
     return cells, tot_u * inv_tot_cells
 
 
+def aa_chunk_default() -> int | None:
+    """LBM_AA_CHUNK (even steps per AA kernel invocation), resolved
+    OUTSIDE jit so the override keys the cache. None -> the kernel's
+    default (_CHUNK_STEPS)."""
+    v = os.environ.get("LBM_AA_CHUNK")
+    return int(v) if v else None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "paired", "tile", "dev"),
+                     "paired", "tile", "dev", "chunk"),
     donate_argnums=(0,),
 )
 def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
-            interpret, paired=True, tile=None, dev=None):
-    # tile is resolved by the caller OUTSIDE jit (the LBM_AA_TILE override
-    # must key the jit cache, not be read under a trace).
+            interpret, paired=True, tile=None, dev=None, chunk=None):
+    # tile/chunk are resolved by the caller OUTSIDE jit (the LBM_AA_TILE /
+    # LBM_AA_CHUNK overrides must key the jit cache, not be read under a
+    # trace).
     from lbm_tpu.ops.pallas_aa import run_aa
 
     if cells.dtype not in (jnp.float32, jnp.bfloat16) and dev is None:
@@ -826,7 +835,7 @@ def _run_aa(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
     nobst = (obstacles == 0).astype(jnp.float32)
     cells, tot_u = run_aa(
         cells, nobst, density, accel, omega, n_iters,
-        interpret=interpret, paired=paired, tile=tile, dev=dev,
+        interpret=interpret, paired=paired, tile=tile, dev=dev, chunk=chunk,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -1114,7 +1123,7 @@ def run_simulation(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
-                dev=dev_tuple, **common,
+                dev=dev_tuple, chunk=aa_chunk_default(), **common,
             )
         if slab_interpret is not None:
             s_dtype = (

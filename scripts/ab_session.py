@@ -59,7 +59,7 @@ import numpy as np
 
 _ENV_KEYS = (
     "LBM_TEMPORAL_DEPTH", "LBM_TEMPORAL_BLOCK", "LBM_PALLAS_BLOCK",
-    "LBM_AA_TILE", "LBM_COLLIDE",
+    "LBM_AA_TILE", "LBM_AA_CHUNK", "LBM_COLLIDE",
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
     "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
     "LBM_BAND3_DEPTH", "LBM_BAND3_BLOCK", "LBM_BAND3_PANEL",
@@ -92,8 +92,8 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile", "panel", "rowforce", "unroll",
-              "slabk", "slabs"):
+    for k in ("depth", "block", "tile", "chunk", "panel", "rowforce",
+              "unroll", "slabk", "slabs"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -125,6 +125,8 @@ def variant_env(v: dict) -> dict:
         env[knob] = str(v["block"])
     if "tile" in v:
         env["LBM_AA_TILE"] = str(v["tile"])
+    if "chunk" in v:
+        env["LBM_AA_CHUNK"] = str(v["chunk"])
     if "panel" in v:
         env["LBM_BAND3_PANEL" if v["backend"] == "band3"
             else "LBM_BAND_PANEL"] = str(v["panel"])

@@ -81,6 +81,24 @@ def test_aa_matches_oracle(iters):
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
 
 
+def test_aa_chunk_param(monkeypatch):
+    """The ``chunk`` override (LBM_AA_CHUNK path, VERDICT r3 item 6): an
+    explicit even chunk matches the oracle; odd chunks are rejected."""
+    params = PARAMS
+    state, obstacles = make_setup(params, seed=3)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_aa(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        10, interpret=True, chunk=4,
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 10)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+    with pytest.raises(ValueError, match="even"):
+        run_aa(jnp.asarray(state), nobst, params.density, params.accel,
+               params.omega, 10, interpret=True, chunk=5)
+
+
 @pytest.mark.parametrize("iters", [8, 11])
 def test_aa_chunked(iters, monkeypatch):
     """Multi-chunk runs: the state stays streamed-arranged across even-length
