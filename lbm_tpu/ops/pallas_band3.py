@@ -50,9 +50,13 @@ the mask reads), so the fused form — compute m0 from out_3/6/7 at row
 pos, RMW slot k at row pos+cy_k by shift_x(m0, cx_k)*w_k — is
 bit-identical to pallas_aa.force_even and reads every input one step
 earlier, while still genuine. The FIRST forcing of a chunk is applied in
-jnp on the full periodic S state (``force_s``); the LAST pass of a chunk
-compiles with ``fuse_last=False`` so the stored state is unforced (clean
-handoff to the next chunk / the remainder kernel).
+jnp on the full periodic S state (``force_s``); the chunk's FINAL pass
+must not fuse its trailing odd step (the stored state must be unforced
+for a clean handoff), and — measured, bench_r4_band3run.json — the relay
+compile helper rejects any kernel mixing a ``fori_loop`` with an
+unrolled tail pair while accepting the uniform-fori kernels, so the
+final pass splits into two uniform kernels on the same depth-T geometry:
+``(steps=T-2, fuse=True)`` + ``(steps=2, fuse=False)``.
 
 Physics per step is the shared paired collision (ops/collision.py).
 Reference semantics: kernels.cl:7-42 (forcing), 44-201 (fused step);
@@ -310,10 +314,17 @@ class _PlaneView:
 
 def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
              out_ref, sums_ref, *scratch,
-             block: int, nblk: int, depth: int, nx: int, tile_w: int,
-             w1a: float, w2a: float, omega: float, out_dtype,
-             paired: bool = True, dev=None, fuse_last: bool = True,
+             block: int, nblk: int, depth: int, steps: int, nx: int,
+             tile_w: int, w1a: float, w2a: float, omega: float, out_dtype,
+             paired: bool = True, dev=None, fuse: bool = True,
              probe: str = ""):
+    # ``steps`` (even, <= depth) decouples the fori trip count from the
+    # buffer geometry: the body must be ONE uniform fori — the relay
+    # compile helper rejects a kernel mixing a fori with an unrolled tail
+    # pair (bench_r4_band3run.json: the old fuse_last=False kernel failed
+    # at every size while the uniform fused kernel compiled). ``fuse`` is
+    # per-kernel: run_band3's final pass is (steps=T-2, fuse=True) +
+    # (steps=2, fuse=False).
     s_ref = scratch[0] if len(scratch) == 1 else _PlaneView(scratch)
     i = pl.program_id(0)
     B, T = block, depth
@@ -351,32 +362,18 @@ def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             even_step(2 * h)
             even_step(2 * h + 1)
             return carry
-
-        jax.lax.fori_loop(0, T // 2, two_steps, 0)
     elif probe == "oddsonly":  # compile-isolation: gather/scatter body only
         def two_steps(h, carry):
             odd_step(2 * h, True)
             odd_step(2 * h + 1, True)
             return carry
-
-        jax.lax.fori_loop(0, T // 2, two_steps, 0)
-    elif fuse_last:
-        def two_steps(h, carry):
-            even_step(2 * h)
-            odd_step(2 * h + 1, True)
-            return carry
-
-        jax.lax.fori_loop(0, T // 2, two_steps, 0)
     else:
         def two_steps(h, carry):
             even_step(2 * h)
-            odd_step(2 * h + 1, True)
+            odd_step(2 * h + 1, fuse)
             return carry
 
-        if T > 2:
-            jax.lax.fori_loop(0, T // 2 - 1, two_steps, 0)
-        even_step(T - 2)
-        odd_step(T - 1, False)
+    jax.lax.fori_loop(0, steps // 2, two_steps, 0)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value
@@ -390,10 +387,11 @@ def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-                paired=True, dev=None, fuse_last=True, probe=""):
+                paired=True, dev=None, steps=None, fuse=True, probe=""):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
+    steps = T if steps is None else steps
     W = block + 2 * T
     spt = block // T
     nstrip = ny // T
@@ -401,9 +399,9 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx)
     kern = functools.partial(
-        _kernel3, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
-        w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev, fuse_last=fuse_last, probe=probe,
+        _kernel3, block=block, nblk=nblk, depth=T, steps=steps, nx=nx,
+        tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
+        paired=paired, dev=dev, fuse=fuse, probe=probe,
     )
     return pl.pallas_call(
         kern,
@@ -424,11 +422,12 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
         out_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, steps), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, steps), jnp.float32),
         ],
         scratch_shapes=(
             [pltpu.VMEM((W, nx), jnp.float32) for _ in range(9)]
@@ -454,10 +453,10 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
 def _kernel3_panel(c_ref, n_ref, s_ref_in, w_ref, e_ref,
                    nw_ref, ne_ref, sw_ref, se_ref, nobst_ref, owner_ref,
                    out_ref, sums_ref, s_ref,
-                   *, block: int, nblk: int, depth: int, panel: int,
-                   halo: int, tile_w: int, w1a: float, w2a: float,
-                   omega: float, out_dtype, paired: bool = True, dev=None,
-                   fuse_last: bool = True):
+                   *, block: int, nblk: int, depth: int, steps: int,
+                   panel: int, halo: int, tile_w: int, w1a: float,
+                   w2a: float, omega: float, out_dtype,
+                   paired: bool = True, dev=None, fuse: bool = True):
     i = pl.program_id(0)
     j = pl.program_id(1)
     B, T, P, H = block, depth, panel, halo
@@ -501,23 +500,14 @@ def _kernel3_panel(c_ref, n_ref, s_ref_in, w_ref, e_ref,
         sums_cols=(H, H + P),
     )(s_ref, nob_all, nob_b_all, gate_last, gate_first, sums_write)
 
-    if fuse_last:
-        def two_steps(h, carry):
-            even_step(2 * h)
-            odd_step(2 * h + 1, True)
-            return carry
+    def two_steps(h, carry):
+        even_step(2 * h)
+        odd_step(2 * h + 1, fuse)
+        return carry
 
-        jax.lax.fori_loop(0, T // 2, two_steps, 0)
-    else:
-        def two_steps(h, carry):
-            even_step(2 * h)
-            odd_step(2 * h + 1, True)
-            return carry
-
-        if T > 2:
-            jax.lax.fori_loop(0, T // 2 - 1, two_steps, 0)
-        even_step(T - 2)
-        odd_step(T - 1, False)
+    # ONE uniform fori: the relay compile helper rejects a fori plus an
+    # unrolled tail in the same kernel (bench_r4_band3run.json).
+    jax.lax.fori_loop(0, steps // 2, two_steps, 0)
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value
@@ -532,11 +522,12 @@ def _kernel3_panel(c_ref, n_ref, s_ref_in, w_ref, e_ref,
 @functools.lru_cache(maxsize=None)
 def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
                       interpret, dtype_name, paired=True, dev=None,
-                      fuse_last=True):
+                      steps=None, fuse=True):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     npan = nx // panel
     T, P, H = depth, panel, halo
+    steps = T if steps is None else steps
     W = block + 2 * T
     WX = P + 2 * H
     spt = block // T
@@ -547,9 +538,9 @@ def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, WX)
     kern = functools.partial(
-        _kernel3_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
-        tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
-        paired=paired, dev=dev, fuse_last=fuse_last,
+        _kernel3_panel, block=block, nblk=nblk, depth=T, steps=steps,
+        panel=P, halo=H, tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega,
+        out_dtype=dtype, paired=paired, dev=dev, fuse=fuse,
     )
 
     def rs_top(i, j):
@@ -598,12 +589,12 @@ def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
         out_specs=[
             pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((nblk, npan, steps), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, npan, steps), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, W, WX), jnp.float32),
@@ -624,10 +615,12 @@ def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
 
 
 def step_band3(cells_s, nob_ext_arr, owner, density, accel, omega, block,
-               depth, *, fuse_last=True, interpret=False, paired=None,
-               dev=None):
-    """Advance the S-arranged state T timesteps in one in-place pass."""
+               depth, *, steps=None, fuse=True, interpret=False,
+               paired=None, dev=None):
+    """Advance the S-arranged state ``steps`` (default T) timesteps in one
+    in-place pass on the depth-T buffer geometry."""
     _, ny, nx = cells_s.shape
+    steps = depth if steps is None else steps
     call = _make_call3(
         ny, nx, block, depth,
         float(density * accel / 9.0),
@@ -636,17 +629,19 @@ def step_band3(cells_s, nob_ext_arr, owner, density, accel, omega, block,
         bool(interpret),
         cells_s.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev, fuse_last=bool(fuse_last),
+        dev=dev, steps=steps, fuse=bool(fuse),
     )
     out, sums = call(cells_s, cells_s, cells_s, nob_ext_arr, owner)
-    return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
+    return out, tuple(jnp.sum(sums[:, s]) for s in range(steps))
 
 
 def step_band3_panel(cells_s, nob_ext_arr, owner, density, accel, omega,
-                     block, depth, panel, halo=128, *, fuse_last=True,
-                     interpret=False, paired=None, dev=None):
-    """Advance the S-arranged state T timesteps in one panelled pass."""
+                     block, depth, panel, halo=128, *, steps=None,
+                     fuse=True, interpret=False, paired=None, dev=None):
+    """Advance the S-arranged state ``steps`` (default T) timesteps in one
+    panelled pass on the depth-T buffer geometry."""
     _, ny, nx = cells_s.shape
+    steps = depth if steps is None else steps
     call = _make_call3_panel(
         ny, nx, block, depth, panel, halo,
         float(density * accel / 9.0),
@@ -655,10 +650,10 @@ def step_band3_panel(cells_s, nob_ext_arr, owner, density, accel, omega,
         bool(interpret),
         cells_s.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev, fuse_last=bool(fuse_last),
+        dev=dev, steps=steps, fuse=bool(fuse),
     )
     out, sums = call(*([cells_s] * 9), nob_ext_arr, owner)
-    return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
+    return out, tuple(jnp.sum(sums[:, :, s]) for s in range(steps))
 
 
 def _force_s_storage(state, nobst, w1a, w2a, dev=None):
@@ -755,22 +750,22 @@ def run_band3(cells, nobst, density, accel, omega, n_iters, block, depth,
         # later one is fused into the preceding odd step's scatter).
         state = _force_s_storage(state, nobst, w1a, w2a, dev=dev)
 
-        def one_pass(state, fuse_last):
+        def one_pass(state, steps, fuse):
             if panel is not None:
                 return step_band3_panel(
                     state, nob_ext_arr, owner, density, accel, omega,
-                    block, T, panel, halo, fuse_last=fuse_last,
+                    block, T, panel, halo, steps=steps, fuse=fuse,
                     interpret=interpret, paired=paired, dev=dev,
                 )
             return step_band3(
                 state, nob_ext_arr, owner, density, accel, omega, block, T,
-                fuse_last=fuse_last, interpret=interpret, paired=paired,
+                steps=steps, fuse=fuse, interpret=interpret, paired=paired,
                 dev=dev,
             )
 
         def body(j, carry):
             state, tot_u = carry
-            state, sums = one_pass(state, True)
+            state, sums = one_pass(state, T, True)
             tot_u = jax.lax.dynamic_update_slice(
                 tot_u, jnp.stack(sums), (T * j,)
             )
@@ -780,10 +775,17 @@ def run_band3(cells, nobst, density, accel, omega, n_iters, block, depth,
             state, tot_u = jax.lax.fori_loop(
                 0, npasses - 1, body, (state, tot_u)
             )
-        # Final pass: no trailing fusion — the stored state is unforced.
-        state, sums = one_pass(state, False)
+        # Final pass: the trailing odd step must not fuse (the stored state
+        # is unforced), and each kernel must be ONE uniform fori (the relay
+        # compile helper rejects a fori + unrolled tail in one kernel —
+        # bench_r4_band3run.json) — so split it: (T-2, fused) + (2, unfused)
+        # passes on the same depth-T geometry.
+        sums = ()
+        if T > 2:
+            state, sums = one_pass(state, T - 2, True)
+        state, sums2 = one_pass(state, 2, False)
         tot_u = jax.lax.dynamic_update_slice(
-            tot_u, jnp.stack(sums), (T * (npasses - 1),)
+            tot_u, jnp.stack(sums + sums2), (T * (npasses - 1),)
         )
         cells = stream_planes(state, sign=-1)  # S -> R
     rem = n_iters % T
