@@ -479,17 +479,25 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
 
 def band3_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None:
     """Resolve the in-place AA-pattern band schedule ``(block, depth,
-    panel)`` (ops/pallas_band3.py): the full-row pick when one fits the
-    single-buffer budget, else the panel pick, else None. band3's own
-    picker (LBM_BAND3_* overrides) — the halved scratch admits larger
-    blocks than the band/band2 pickers would choose."""
+    panel)`` (ops/pallas_band3.py): whichever of the full-row / panel
+    picks has the lower TOTAL compute redundancy — full-row pays
+    (B+2T)/B only, a panel also pays (P+2H)/P, and at 7168-8192 the
+    full-row budget forces B=32 (red 1.5) where a (128,8,2048) panel
+    runs at 1.266 (the regime is VPU-bound, DESIGN.md roofline: rate
+    scales ~1/redundancy). Ties prefer full-row (no halo columns).
+    band3's own picker honors the LBM_BAND3_* overrides."""
     from lbm_tpu.ops.pallas_band3 import pick_config3, pick_config3_panel
 
     cfg = pick_config3(params.ny, params.nx, dtype)
+    pcfg = pick_config3_panel(params.ny, params.nx, dtype)
+    if cfg is not None and pcfg is not None:
+        red_full = (cfg[0] + 2 * cfg[1]) / cfg[0]
+        b, t, p = pcfg
+        red_panel = (b + 2 * t) / b * (p + 256) / p  # halo = 128 per side
+        return (*cfg, None) if red_full <= red_panel else pcfg
     if cfg is not None:
         return (*cfg, None)
-    pcfg = pick_config3_panel(params.ny, params.nx, dtype)
-    return None if pcfg is None else pcfg
+    return pcfg
 
 
 def select_band3(params: LBMParams, backend: str, dtype) -> bool | None:

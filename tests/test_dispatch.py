@@ -242,3 +242,20 @@ def test_standard_relay_default_unchanged(on_tpu):
     # sizes invariant).
     assert driver.select_aa(p(1536, 1536), "auto", jnp.float32) is None
     assert driver.select_band2(p(9216, 9216), "auto", jnp.float32) is None
+
+
+def test_band3_config_prefers_lower_total_redundancy():
+    # band3_config compares full-row (B+2T)/B against the panel's
+    # (B+2T)/B * (P+2H)/P and takes the smaller (ties -> full-row):
+    # at 5120^2 the full-row (64,8) = 1.25 beats the best panel; at
+    # 6144-8192 the full-row budget forces B<=64 while a wide-block
+    # panel wins (driver.band3_config, DESIGN.md band3 section).
+    for n, expect_panel in ((2048, False), (5120, False), (6144, True),
+                            (7168, True), (8192, True)):
+        cfg = driver.band3_config(p(n, n), jnp.float32)
+        assert cfg is not None, n
+        b, t, panel = cfg
+        assert (panel is not None) == expect_panel, (n, cfg)
+        red_full = (b + 2 * t) / b
+        if panel is not None:
+            assert red_full * (panel + 256) / panel < 1.5, (n, cfg)
