@@ -472,7 +472,8 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
             jnp.dtype(dtype) == jnp.dtype(jnp.float32)
             and state_bytes <= _AA_AUTO_MAX_STATE
         )
-    if fits and on_tpu and probed and not aa_claims:
+    if (fits and on_tpu and probed and not aa_claims
+            and not _band3_auto_claims(params, dtype)):
         return False
     return None
 
@@ -500,13 +501,44 @@ def band3_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None
     return pcfg
 
 
+# band3 auto routing (bench_r4_wide_chunk2.json): full-row band3
+# (single-buffer scratch, redundancy 1.25) beat panel-band2 (total
+# redundancy ~1.40) 15,336 vs 14,401 MLUPS at 5120^2 f32 — the one
+# regime where the in-place body's halved VMEM cashes out. band2 keeps
+# every width where IT fits full-row (parity-or-better at 1536^2-4096^2,
+# bench_r4_band3ab.json) and 8192^2 (its T16 panel won 16,393 vs band3's
+# panel 15,155). The relay profile claims only the TPU-validated pair;
+# the standard profile claims the structural rule itself.
+_BAND3_AUTO_F32 = {(5120, 5120)}
+
+
+def _band3_auto_claims(params: LBMParams, dtype) -> bool:
+    """True where auto routes band3 over band2: band3 resolves a
+    FULL-ROW schedule where band2 would panel (or not fit at all).
+    Panel-band3 never claims (measured slower than panel-band2 at
+    8192^2); band2 full-row never yields (measured parity-or-better)."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int16)):
+        return False  # bf16 is experimental/explicit-only everywhere
+    cfg3 = band3_config(params, dtype)
+    if cfg3 is None or cfg3[2] is not None:
+        return False
+    cfg2 = band2_config(params, dtype)
+    if cfg2 is not None and cfg2[2] is None:
+        return False
+    if toolchain() == "standard":
+        return True
+    return (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and (params.ny, params.nx) in _BAND3_AUTO_F32)
+
+
 def select_band3(params: LBMParams, backend: str, dtype) -> bool | None:
     """Whether to use the in-place AA-pattern band kernel
     (ops/pallas_band3.py). Returns None or the ``interpret`` flag.
 
-    Explicit-only (``--backend band3``) until the TPU compile/perf probes
-    land (the validated-sizes invariant: auto claims only measured
-    shapes); the round-4 A/B vs band2 decides its auto routing."""
+    ``auto`` claims the band3-wins regime (``_band3_auto_claims``: full-row
+    band3 where band2 panels — relay-validated at 5120^2 f32, structural
+    under LBM_TOOLCHAIN=standard); ``--backend band3`` forces it wherever
+    ``band3_config`` resolves a schedule."""
     if backend not in ("auto", "band3"):
         return None
     if jnp.dtype(dtype) not in (
@@ -516,7 +548,10 @@ def select_band3(params: LBMParams, backend: str, dtype) -> bool | None:
             raise ValueError("band3 backend stores f32/bf16/c16 only")
         return None
     if backend != "band3":
-        return None  # auto never picks band3 yet (unprobed on TPU)
+        if (_band3_auto_claims(params, dtype)
+                and jax.devices()[0].platform == "tpu"):
+            return False
+        return None
     if band3_config(params, dtype) is None:
         raise ValueError(
             f"grid {params.ny}x{params.nx} unsupported by the band3 kernel "

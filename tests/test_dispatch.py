@@ -165,9 +165,14 @@ def test_auto_band2_claims_validated_matrix(on_tpu):
     # config matches a validated compile. f32: full-row 1536-4096, panels
     # 5120-8192. c16: full-row 1536-6144 (half-size buffers fit full-row
     # where f32 needs panels), panels 7168/8192.
-    for n in (1536, 2048, 3072, 4096, 5120, 6144, 7168, 8192):
+    for n in (1536, 2048, 3072, 4096, 6144, 7168, 8192):
         assert driver.select_band2(p(n, n), "auto", jnp.float32) is False, n
         assert driver.select_band2(p(n, n), "auto", jnp.int16) is False, n
+    # 5120^2 f32 routes band3 since round 4 (full-row band3 beat
+    # panel-band2 +6.5%, bench_r4_wide_chunk2.json); c16 keeps band2
+    # (full-row band2 is validated there).
+    assert driver.select_band2(p(5120, 5120), "auto", jnp.float32) is None
+    assert driver.select_band2(p(5120, 5120), "auto", jnp.int16) is False
     # f32 within AA's auto ceiling defers to AA; c16 does NOT (c16 AA is
     # explicit-only, so band2 takes 1536^2 c16 at 42.5 MB).
     assert driver.select_band2(p(1024, 1024), "auto", jnp.float32) is None
@@ -180,6 +185,41 @@ def test_forced_band2():
     assert driver.select_band2(p(2048, 2048), "band2", jnp.float32) is True
     with pytest.raises(ValueError, match="f32/bf16/c16"):
         driver.select_band2(p(2048, 2048), "band2", jnp.float64)
+
+
+def test_auto_band3_claims_fullrow_where_band2_panels(on_tpu):
+    # Round-4 policy (bench_r4_wide_chunk2.json): the in-place band3 body
+    # halves the scratch, so full-row configs (red 1.25) fit at 5120^2 f32
+    # where band2 must panel (total red ~1.40) — measured +6.5%. Relay
+    # profile claims only the TPU-validated pair.
+    assert driver.select_band3(p(5120, 5120), "auto", jnp.float32) is False
+    # band2 full-row widths stay band2 (parity-or-better, r4 A/B)...
+    for n in (1536, 2048, 3072, 4096):
+        assert driver.select_band3(p(n, n), "auto", jnp.float32) is None, n
+    # ...and so do panel-vs-panel widths (band2's T16 panel won 8192^2)
+    # and the relay-unprobed band3 full-row c16 shapes.
+    assert driver.select_band3(p(8192, 8192), "auto", jnp.float32) is None
+    assert driver.select_band3(p(6144, 6144), "auto", jnp.float32) is None
+    assert driver.select_band3(p(7168, 7168), "auto", jnp.int16) is None
+    assert driver.select_band3(p(5120, 5120), "auto", jnp.bfloat16) is None
+
+
+def test_auto_band3_requires_tpu_platform():
+    # On CPU/interpret platforms auto never picks band3 (same contract as
+    # every other auto kernel route).
+    assert driver.select_band3(p(5120, 5120), "auto", jnp.float32) is None
+
+
+def test_standard_band3_claims_structural_rule(on_tpu, std):
+    # LBM_TOOLCHAIN=standard claims the rule itself: any f32/c16 grid
+    # where band3 resolves full-row and band2 would panel.
+    assert driver.select_band3(p(5120, 5120), "auto", jnp.float32) is False
+    assert driver.select_band3(p(7168, 7168), "auto", jnp.int16) is False
+    assert driver.select_band3(p(9216, 9216), "auto", jnp.int16) is False
+    assert driver.select_band2(p(7168, 7168), "auto", jnp.int16) is None
+    # panel-vs-panel stays band2 even on standard (measured at 8192^2).
+    assert driver.select_band3(p(9216, 9216), "auto", jnp.float32) is None
+    assert driver.select_band2(p(9216, 9216), "auto", jnp.float32) is False
 
 
 # --- LBM_TOOLCHAIN=standard: relay caps lifted to the design limits ------
