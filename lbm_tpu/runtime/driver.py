@@ -486,11 +486,20 @@ def band3_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None
     full-row budget forces B=32 (red 1.5) where a (128,8,2048) panel
     runs at 1.266 (the regime is VPU-bound, DESIGN.md roofline: rate
     scales ~1/redundancy). Ties prefer full-row (no halo columns).
-    band3's own picker honors the LBM_BAND3_* overrides."""
+    band3's own picker honors the LBM_BAND3_* overrides;
+    ``LBM_BAND3_FORCE=fullrow|panel`` pins the variant for sweeps (the
+    redundancy comparison would otherwise re-pick the other one)."""
     from lbm_tpu.ops.pallas_band3 import pick_config3, pick_config3_panel
 
     cfg = pick_config3(params.ny, params.nx, dtype)
     pcfg = pick_config3_panel(params.ny, params.nx, dtype)
+    force = os.environ.get("LBM_BAND3_FORCE")
+    if force:
+        if force not in ("fullrow", "panel"):
+            raise ValueError(
+                f"LBM_BAND3_FORCE must be 'fullrow' or 'panel', got {force!r}")
+        return (*cfg, None) if (force == "fullrow" and cfg is not None) \
+            else (pcfg if force == "panel" else None)
     if cfg is not None and pcfg is not None:
         red_full = (cfg[0] + 2 * cfg[1]) / cfg[0]
         b, t, p = pcfg

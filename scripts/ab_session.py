@@ -98,6 +98,8 @@ def parse_spec(spec: str) -> dict:
             out[k] = int(kv[k])
     if "collide" in kv:
         out["collide"] = kv["collide"]
+    if "force" in kv:
+        out["force"] = kv["force"]  # band3: fullrow|panel
     return out
 
 
@@ -132,6 +134,8 @@ def variant_env(v: dict) -> dict:
             else "LBM_BAND_PANEL"] = str(v["panel"])
     if "collide" in v:
         env["LBM_COLLIDE"] = v["collide"]
+    if "force" in v:
+        env["LBM_BAND3_FORCE"] = v["force"]
     if "rowforce" in v:
         env["LBM_BAND_ROWFORCE"] = str(v["rowforce"])
     if "unroll" in v:
