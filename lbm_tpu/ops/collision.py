@@ -1,12 +1,12 @@
 """Shared BGK collision for the Pallas kernels.
 
-Two arithmetically equivalent forms of the reference's equilibrium +
+Three arithmetically equivalent forms of the reference's equilibrium +
 relaxation (kernels.cl:109-177), selectable per kernel build:
 
 - ``literal``: the reference's per-direction formula, one ``feq_k`` per
   plane — the round-1 form, kept for A/B baselines and bit-for-bit
   comparison with the early benchmark numbers.
-- ``paired`` (default): exploits that opposite directions share weight and
+- ``paired`` (the round 1-3 default): exploits that opposite directions share weight and
   satisfy ``cu_opp = -cu`` (kernels.cl:100-107's opposite table), so each
   of the four (k, opp) pairs needs ONE quadratic term and ONE linear term:
 
@@ -17,10 +17,26 @@ relaxation (kernels.cl:109-177), selectable per kernel build:
   matmuls, so the VPU op count is the compute ceiling once a kernel is no
   longer HBM-bound (the VMEM-resident and temporally-blocked schedules —
   see docs/DESIGN.md "Round-2 temporal-blocking depth study").
+- ``fused`` (round-4 default): the paired form with three further
+  trace-time regroupings, ~14 fewer VPU ops/cell (~15% of the relax
+  stage) — measured +9-12% MLUPS on the compute-bound kernels
+  (bench_r4_fused.json):
 
-Both forms produce results within a few f32 ulps of each other; the golden
+  1. omega folded into the equilibrium weights —
+     ``t + omega (feq - t)  ==  (1 - omega) t + (omega w) rho (...)``,
+     so the per-plane relax costs one multiply-add instead of
+     (sub, mul, add);
+  2. the per-weight-class ``(omega w) rho`` hoisted out of the pairs
+     (W1 and W2 each serve two pairs);
+  3. the moment numerators CSE'd through the shared diagonal
+     differences ``t5 - t7`` / ``t6 - t8`` (each appears in BOTH u_x
+     and u_y with opposite/equal signs — see ``_moments_fused``).
+
+All forms produce results within a few f32 ulps of each other; the golden
 gate (1% tolerance, 40k-80k steps) and the oracle tests (atol 2-3e-7) hold
-for either. ``LBM_COLLIDE=literal`` reverts the default at dispatch time.
+for any of them. ``LBM_COLLIDE=literal|paired|fused`` picks the form at
+dispatch time (resolved OUTSIDE jit; the value keys every kernel-build
+cache).
 """
 
 from __future__ import annotations
@@ -43,9 +59,26 @@ _PAIRS = (
 )
 
 
-def paired_default() -> bool:
-    """Kernel-build default for the collision form (env-overridable)."""
-    return os.environ.get("LBM_COLLIDE", "paired") != "literal"
+def paired_default():
+    """Kernel-build default for the collision form (env-overridable).
+
+    Returns the value every kernel passes straight through to
+    ``bgk_relax(paired=...)``: ``False`` (literal), ``True`` (paired) or
+    the string ``"fused"``. The tri-valued flag keeps the historical
+    ``paired`` plumbing (static jit args / lru_cache keys hash all
+    three) without touching every kernel signature.
+
+    ``fused`` is the default since round 4: measured +9-12% on the
+    HBM-regime band2 kernels and +3-10% on the AA flagship, no losses
+    (bench_r4_fused.json), golden-gated on TPU at all four official
+    configs (bench_r4_gold_fused.json).
+    """
+    mode = os.environ.get("LBM_COLLIDE", "fused")
+    if mode == "literal":
+        return False
+    if mode == "paired":
+        return True
+    return "fused"
 
 
 def moments(t):
@@ -64,12 +97,65 @@ def moments(t):
     return rho, inv_rho, u_x, u_y, u_sq
 
 
-def bgk_relax(t, omega, *, paired: bool = True):
+def _moments_fused(t):
+    """(rho, u_x, u_y, u_sq) via sum/difference CSE.
+
+    The diagonal differences ``d57 = t5 - t7`` and ``d68 = t6 - t8`` feed
+    both velocity numerators (u_x uses +d57 - d68, u_y uses +d57 + d68 —
+    signs from kernels.cl:117-131's direction table), saving two adds per
+    cell over the literal grouping. At-rest exactness is preserved: every
+    difference of equal opposite-pair planes is exactly 0.0, so the
+    velocity numerators still cancel to literal zero (the invariant the
+    final_state writer's ``0.000000000000E+00`` fields rely on,
+    d2q9-bgk.c:877-892)."""
+    t0, t1, t2, t3, t4, t5, t6, t7, t8 = t
+    s13 = t1 + t3
+    s24 = t2 + t4
+    s57 = t5 + t7
+    s68 = t6 + t8
+    rho = ((s13 + s24) + (s57 + s68)) + t0
+    inv_rho = 1.0 / rho
+    d57 = t5 - t7
+    d68 = t6 - t8
+    u_x = (((t1 - t3) + d57) - d68) * inv_rho
+    u_y = (((t2 - t4) + d57) + d68) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
+    return rho, u_x, u_y, u_sq
+
+
+def _bgk_fused(t, omega):
+    """The ``fused`` collision form (see module docstring, item list)."""
+    rho, u_x, u_y, u_sq = _moments_fused(t)
+    beta = 1.0 - omega  # trace-time python float, as are the omega*w below
+    common = 1.0 - u_sq * (0.5 / C_SQ)
+    wr0 = (omega * W0) * rho
+    wr1 = (omega * W1) * rho
+    wr2 = (omega * W2) * rho
+    relaxed = [None] * 9
+    relaxed[0] = beta * t[0] + wr0 * common
+    for k, kb, w, (ax, ay) in _PAIRS:
+        wr = wr1 if w == W1 else wr2
+        if ax and ay:
+            cu = u_x + u_y if ax == 1.0 else u_y - u_x
+        else:
+            cu = u_x if ax else u_y
+        q = wr * (common + (cu * cu) * (0.5 / (C_SQ * C_SQ)))
+        d = wr * (cu * (1.0 / C_SQ))
+        relaxed[k] = beta * t[k] + (q + d)
+        relaxed[kb] = beta * t[kb] + (q - d)
+    return tuple(relaxed), u_sq
+
+
+def bgk_relax(t, omega, *, paired=True):
     """BGK-relax the 9 streamed planes ``t``; returns ``(relaxed, u_sq)``.
 
     ``relaxed`` is the pre-bounce-back 9-tuple ``t_k + omega (feq_k - t_k)``
     (kernels.cl:148-177); the caller applies its own obstacle blend.
+    ``paired`` is tri-valued: ``False`` literal, ``True`` paired,
+    ``"fused"`` the omega-folded form (module docstring).
     """
+    if paired == "fused":
+        return _bgk_fused(t, omega)
     rho, _, u_x, u_y, u_sq = moments(t)
     common = 1.0 - u_sq * (0.5 / C_SQ)
     relaxed = [None] * 9

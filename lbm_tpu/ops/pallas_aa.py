@@ -103,7 +103,7 @@ def aa_supported(ny: int, nx: int, dtype=jnp.float32) -> bool:
 _TOTAL_VMEM_TARGET = 90 * 1024 * 1024
 
 
-def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
+def _pick_tile(ny: int, nx: int, itemsize: int = 4, fused: bool = False) -> int:
     """Tile height: ~22 live tile-planes of f32 temporaries, budgeted so
     state + mask + temporaries stay under the toolchain's total-VMEM
     ceiling (capped at ~24 MB of temporaries — bigger buys nothing).
@@ -111,6 +111,17 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
     Unlike the ping-pong kernel's picker this does NOT require tile | ny —
     the step loops handle a ragged last tile (large unrolled tile counts
     are also compile hazards; big tiles keep ntiles in the proven range).
+
+    ``fused``: the round-4 fused collision form keeps a couple more live
+    tile-planes (the ``(1-omega) t_k`` products), which tipped the
+    largest near-cliff shape over the relay compile ceiling — 1408^2 f32
+    at the budgeted tile 120 fails, while 72 and 56 compile AND run
+    faster (bench_r4_ladder.json FAIL; bench_r4_fusededge.json: tile 56
+    at 18.3k MLUPS > tile 72's 16.7k). Near the cliff (state + mask >=
+    68 MiB — also catches the unprobed 1344^2-class shapes whose
+    modeled total sits at the same ~89 MB) the fused pick clamps to the
+    fastest validated tile; 1280^2 (62.5 MiB) compiles at its unclamped
+    budgeted tile under fused.
     """
     override = os.environ.get("LBM_AA_TILE")
     if override:
@@ -135,6 +146,8 @@ def _pick_tile(ny: int, nx: int, itemsize: int = 4) -> int:
         # huge unroll — use the perf-optimal temporaries budget.
         budget = 24 * 1024 * 1024
     max_rows = max(8, budget // (22 * nx * 4) // 8 * 8)
+    if fused and state + mask >= 68 * 1024 * 1024:
+        max_rows = min(max_rows, 56)
     return min(ny, max_rows)
 
 
@@ -149,7 +162,15 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
                *scratch,
                steps: int, ny: int, nx: int, tile: int,
                w1a: float, w2a: float, omega: float, out_dtype,
-               paired: bool = True, dev=None):
+               paired=True, dev=None, probe: str = ""):
+    # ``probe`` is an attribution-only knob (scripts/probe_aa_small.py),
+    # NOT reachable from the driver: comma tokens "noforce" (skip the
+    # per-step forcing rows) and "noav" (skip the per-step |u| reduction)
+    # produce PHYSICS-WRONG results whose timing isolates the fixed
+    # per-step costs that dominate small grids (BENCHMARKS.md round-4
+    # small-grid sections).
+    probe_noforce = "noforce" in probe
+    probe_noav = "noav" in probe
     planes = scratch[:9]
     sem_in, sem_out = scratch[9], scratch[10]
 
@@ -267,9 +288,13 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             s = _OPP[k]
             state[s, ny - 2 : ny - 1] = to_store(row(s, ny - 2) + m * w, s)
 
+    def av_store(av_idx, total):
+        av_ref[av_idx, 0] = jnp.float32(0.0) if total is None else total
+
     def even_step(av_idx):
         """S -> C: local collide, write slot opp(k) <- value traveling k."""
-        force_even()
+        if not probe_noforce:
+            force_even()
         total = None
         for r0, h in tiles:
             t = tuple(read(k, r0, h) for k in range(9))
@@ -278,14 +303,16 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             nob_b = nob > 0.0
             for k in range(9):
                 write(_OPP[k], r0, jnp.where(nob_b, relaxed[k], t[_OPP[k]]))
-            part = jnp.sum(nob * jnp.sqrt(u_sq))
-            total = part if total is None else total + part
-        av_ref[av_idx, 0] = total
+            if not probe_noav:
+                part = jnp.sum(nob * jnp.sqrt(u_sq))
+                total = part if total is None else total + part
+        av_store(av_idx, total)
 
     def odd_step(av_idx):
         """C -> S: gather t_k from (x - c_k, opp(k)), collide, scatter the
         value traveling k to (x + c_k, k)."""
-        force_odd()
+        if not probe_noforce:
+            force_odd()
         total = None
         for r0, h in tiles:
             t = tuple(
@@ -297,9 +324,10 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             for k in range(9):
                 out_k = jnp.where(nob_b, relaxed[k], t[_OPP[k]])
                 write(k, r0 + _CYS[k], shift_x(out_k, _CXS[k]))
-            part = jnp.sum(nob * jnp.sqrt(u_sq))
-            total = part if total is None else total + part
-        av_ref[av_idx, 0] = total
+            if not probe_noav:
+                part = jnp.sum(nob * jnp.sqrt(u_sq))
+                total = part if total is None else total + part
+        av_store(av_idx, total)
 
     def pair(i, _):
         even_step(2 * i)
@@ -318,14 +346,14 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_aa_call(ny, nx, steps, w1a, w2a, omega, interpret, dtype_name,
-                  paired=True, tile=None, dev=None):
+                  paired=True, tile=None, dev=None, probe=""):
     dtype = jnp.dtype(dtype_name)
     if tile is None:
         tile = _pick_tile(ny, nx, dtype.itemsize)
     kern = functools.partial(
         _aa_kernel, steps=steps, ny=ny, nx=nx, tile=tile,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev,
+        dev=dev, probe=probe,
     )
     return pl.pallas_call(
         kern,
@@ -362,7 +390,8 @@ def stream_planes(cells, sign: int = 1):
 
 
 def run_aa(cells, nobst, density, accel, omega, n_iters, *,
-           interpret=False, paired=None, tile=None, dev=None, chunk=None):
+           interpret=False, paired=None, tile=None, dev=None, chunk=None,
+           probe=""):
     """Run ``n_iters`` steps with the in-place AA-resident kernel.
 
     Same contract as ``pallas_resident.run_resident``: returns
@@ -377,6 +406,8 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     cost over more steps (the 128^2 official config at chunk 254 pays
     ~157 launches over 40k steps — the VERDICT r3 item-6 suspect);
     jitted callers resolve ``LBM_AA_CHUNK`` outside the trace.
+    ``probe`` ("noforce"/"noav" tokens) builds PHYSICS-WRONG attribution
+    kernels for the small-grid overhead study — probe scripts only.
     """
     _, ny, nx = cells.shape
     if not aa_supported(ny, nx, cells.dtype):
@@ -401,7 +432,9 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
 
     state = stream_planes(cells)  # R -> S, once per run
     if tile is None:
-        tile = _pick_tile(ny, nx, jnp.dtype(cells.dtype).itemsize)
+        tile = _pick_tile(
+            ny, nx, jnp.dtype(cells.dtype).itemsize, fused=paired == "fused"
+        )
     if chunk is None:
         chunk = _CHUNK_STEPS
     elif chunk < 2 or chunk % 2:
@@ -413,7 +446,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     if n_full:
         call = _make_aa_call(
             ny, nx, chunk, w1a, w2a, omega, interpret,
-            cells.dtype.name, paired, tile, dev,
+            cells.dtype.name, paired, tile, dev, probe,
         )
 
         def body(j, carry):
@@ -428,7 +461,7 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     if rem:
         call = _make_aa_call(
             ny, nx, rem, w1a, w2a, omega, interpret, cells.dtype.name, paired,
-            tile, dev,
+            tile, dev, probe,
         )
         state, av = call(state, nobst, owner)
         tot_u = jax.lax.dynamic_update_slice(

@@ -510,15 +510,22 @@ def band3_config(params: LBMParams, dtype) -> tuple[int, int, int | None] | None
     return pcfg
 
 
-# band3 auto routing (bench_r4_wide_chunk2.json): full-row band3
+# band3 auto routing. Under the PAIRED collision form, full-row band3
 # (single-buffer scratch, redundancy 1.25) beat panel-band2 (total
-# redundancy ~1.40) 15,336 vs 14,401 MLUPS at 5120^2 f32 — the one
-# regime where the in-place body's halved VMEM cashes out. band2 keeps
-# every width where IT fits full-row (parity-or-better at 1536^2-4096^2,
+# redundancy ~1.40) 15,336 vs 14,401 MLUPS at 5120^2 f32
+# (bench_r4_wide_chunk2.json) — the one regime where the in-place body's
+# halved VMEM cashed out. The round-4 FUSED default killed that claim:
+# the (64,8) full-row kernel no longer survives the relay compile
+# (bench_r4_ladder.json: HTTP 500 — the fused form's extra live planes
+# tip it over the ~91 MB cliff), B48 full-row doesn't resolve a config,
+# and band2-panel-fused beats band3-B64-paired 13,252 vs 10,808
+# in-session (bench_r4_fusededge.json). band2 keeps every width where IT
+# fits full-row (parity-or-better at 1536^2-4096^2,
 # bench_r4_band3ab.json) and 8192^2 (its T16 panel won 16,393 vs band3's
-# panel 15,155). The relay profile claims only the TPU-validated pair;
-# the standard profile claims the structural rule itself.
-_BAND3_AUTO_F32 = {(5120, 5120)}
+# panel 15,155). Relay profile: band3 claims nothing; the standard
+# profile keeps the structural rule (full VMEM fits B64 full-row where
+# band2 must panel — measured +6.5% under paired).
+_BAND3_AUTO_F32 = set()
 
 
 def _band3_auto_claims(params: LBMParams, dtype) -> bool:
@@ -545,8 +552,9 @@ def select_band3(params: LBMParams, backend: str, dtype) -> bool | None:
     (ops/pallas_band3.py). Returns None or the ``interpret`` flag.
 
     ``auto`` claims the band3-wins regime (``_band3_auto_claims``: full-row
-    band3 where band2 panels — relay-validated at 5120^2 f32, structural
-    under LBM_TOOLCHAIN=standard); ``--backend band3`` forces it wherever
+    band3 where band2 panels — structural under LBM_TOOLCHAIN=standard;
+    nothing on the relay toolchain since the fused default, see
+    ``_BAND3_AUTO_F32``); ``--backend band3`` forces it wherever
     ``band3_config`` resolves a schedule."""
     if backend not in ("auto", "band3"):
         return None
@@ -1174,7 +1182,9 @@ def run_simulation(
             return _run_aa.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=aa_interpret,
-                tile=_pick_tile(params.ny, params.nx, jnp.dtype(a_dtype).itemsize),
+                tile=_pick_tile(params.ny, params.nx,
+                                jnp.dtype(a_dtype).itemsize,
+                                fused=paired == "fused"),
                 dev=dev_tuple, chunk=aa_chunk_default(), **common,
             )
         if slab_interpret is not None:

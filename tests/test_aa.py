@@ -62,6 +62,12 @@ def test_aa_tile_picker_budgets():
     assert pallas_aa._pick_tile(1024, 1024) == 272  # plentiful
     assert pallas_aa._pick_tile(1408, 1408) == 120  # budgeted under ceiling
     assert pallas_aa._pick_tile(1536, 1536) == 184  # beyond ceiling: perf tile
+    # Fused collision form: near-cliff shapes clamp to the validated tile
+    # (bench_r4_fusededge.json); smaller states keep the budgeted tile.
+    assert pallas_aa._pick_tile(1408, 1408, fused=True) == 56
+    assert pallas_aa._pick_tile(1280, 1280, fused=True) == \
+        pallas_aa._pick_tile(1280, 1280)
+    assert pallas_aa._pick_tile(1024, 1024, fused=True) == 272
 
 
 @pytest.mark.parametrize("iters", [1, 2, 5])
@@ -76,6 +82,22 @@ def test_aa_matches_oracle(iters):
         iters, interpret=True,
     )
     want, want_tot = oracle_run(state, obstacles, params, iters)
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * scale
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_aa_fused_collision_matches_oracle():
+    """The fused collision form through the AA kernel (both step parities):
+    same oracle gate as the default form."""
+    params = PARAMS
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_aa(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        5, interpret=True, paired="fused",
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 5)
     scale = np.abs(want).max()
     assert np.abs(np.asarray(cells) - want).max() < 1e-5 * scale
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)

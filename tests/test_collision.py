@@ -42,17 +42,46 @@ def test_paired_matches_literal_to_roundoff():
         )
 
 
+def test_fused_matches_literal_to_roundoff():
+    """The omega-folded fused form is a trace-time regrouping of the same
+    arithmetic; it must agree with the literal form to f32 round-off and
+    produce the identical u_sq reduction input up to round-off."""
+    t = _random_planes()
+    lit, usq_lit = bgk_relax(t, 1.85, paired=False)
+    fus, usq_fus = bgk_relax(t, 1.85, paired="fused")
+    np.testing.assert_allclose(
+        np.asarray(usq_fus), np.asarray(usq_lit), rtol=0, atol=5e-9
+    )
+    for k in range(9):
+        np.testing.assert_allclose(
+            np.asarray(fus[k]), np.asarray(lit[k]), rtol=0, atol=1e-7
+        )
+
+
+def test_fused_moments_at_rest_velocity_exactly_zero():
+    """The sum/difference CSE grouping must keep the at-rest exact-zero
+    cancellation (opposite-pair planes are equal, so every difference is
+    literal 0.0)."""
+    from lbm_tpu.ops.collision import _moments_fused
+
+    base = jnp.asarray(oracle.initial_state(PARAMS).astype(np.float32))
+    t = tuple(base[k] for k in range(9))
+    _, u_x, u_y, _ = _moments_fused(t)
+    assert float(jnp.abs(u_x).max()) == 0.0
+    assert float(jnp.abs(u_y).max()) == 0.0
+
+
 def test_paired_matches_f64_literal_tightly():
-    """Both f32 forms must sit within f32 round-off of the f64 literal truth
-    (the paired regrouping must not amplify error, only re-round)."""
+    """All f32 forms must sit within f32 round-off of the f64 literal truth
+    (the regroupings must not amplify error, only re-round)."""
     t32 = _random_planes()
     t64 = tuple(p.astype(jnp.float64) for p in t32)
     truth, _ = bgk_relax(t64, 1.85, paired=False)
-    for paired in (False, True):
+    for paired in (False, True, "fused"):
         got, _ = bgk_relax(t32, 1.85, paired=paired)
         for k in range(9):
             np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(truth[k]), rtol=0, atol=1e-7
+                np.asarray(got[k]), np.asarray(truth[k]), rtol=0, atol=1.5e-7
             )
 
 
@@ -69,11 +98,13 @@ def test_moments_at_rest_velocity_exactly_zero():
 
 def test_env_knob(monkeypatch):
     monkeypatch.delenv("LBM_COLLIDE", raising=False)
-    assert paired_default() is True
+    assert paired_default() == "fused"  # round-4 default (bench_r4_fused)
     monkeypatch.setenv("LBM_COLLIDE", "literal")
     assert paired_default() is False
     monkeypatch.setenv("LBM_COLLIDE", "paired")
     assert paired_default() is True
+    monkeypatch.setenv("LBM_COLLIDE", "fused")
+    assert paired_default() == "fused"
 
 
 def test_knob_reaches_kernel_build(monkeypatch):
@@ -89,14 +120,16 @@ def test_knob_reaches_kernel_build(monkeypatch):
     nobst = _prepare_obstacles(jnp.asarray(mask), jnp.float32)
 
     out = {}
-    for mode in ("literal", "paired"):
+    for mode in ("literal", "paired", "fused"):
         monkeypatch.setenv("LBM_COLLIDE", mode)
         new_cells, _ = lbm_step_pallas_interpret(
             cells, nobst, PARAMS.density, PARAMS.accel, PARAMS.omega
         )
         out[mode] = np.asarray(new_cells)
     assert not np.array_equal(out["literal"], out["paired"])
+    assert not np.array_equal(out["literal"], out["fused"])
     np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-8)
+    np.testing.assert_allclose(out["fused"], out["literal"], rtol=0, atol=2e-7)
 
 
 def test_pallas_block_knob_rekeys_driver_jit_cache(monkeypatch):
@@ -137,9 +170,11 @@ def test_knob_rekeys_driver_jit_cache(backend, monkeypatch):
     obstacles = np.zeros((16, 128), dtype=np.int32)
     obstacles[0, :] = obstacles[-1, :] = 1
     out = {}
-    for mode in ("literal", "paired"):
+    for mode in ("literal", "paired", "fused"):
         monkeypatch.setenv("LBM_COLLIDE", mode)
         r = run_simulation(params, obstacles, backend=backend)
         out[mode] = np.asarray(r.cells)
     assert not np.array_equal(out["literal"], out["paired"])
+    assert not np.array_equal(out["literal"], out["fused"])
     np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-7)
+    np.testing.assert_allclose(out["fused"], out["literal"], rtol=0, atol=1e-6)

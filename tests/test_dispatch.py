@@ -168,10 +168,12 @@ def test_auto_band2_claims_validated_matrix(on_tpu):
     for n in (1536, 2048, 3072, 4096, 6144, 7168, 8192):
         assert driver.select_band2(p(n, n), "auto", jnp.float32) is False, n
         assert driver.select_band2(p(n, n), "auto", jnp.int16) is False, n
-    # 5120^2 f32 routes band3 since round 4 (full-row band3 beat
-    # panel-band2 +6.5%, bench_r4_wide_chunk2.json); c16 keeps band2
-    # (full-row band2 is validated there).
-    assert driver.select_band2(p(5120, 5120), "auto", jnp.float32) is None
+    # 5120^2 f32 went band3 mid-round-4 (bench_r4_wide_chunk2.json) and
+    # came BACK to band2-panel with the fused collision default: the
+    # band3 full-row kernel no longer survives the relay compile and
+    # panel-band2-fused beats band3-paired in-session
+    # (bench_r4_fusededge.json 13,252 vs 10,808). c16 keeps band2.
+    assert driver.select_band2(p(5120, 5120), "auto", jnp.float32) is False
     assert driver.select_band2(p(5120, 5120), "auto", jnp.int16) is False
     # f32 within AA's auto ceiling defers to AA; c16 does NOT (c16 AA is
     # explicit-only, so band2 takes 1536^2 c16 at 42.5 MB).
@@ -188,11 +190,13 @@ def test_forced_band2():
 
 
 def test_auto_band3_claims_fullrow_where_band2_panels(on_tpu):
-    # Round-4 policy (bench_r4_wide_chunk2.json): the in-place band3 body
-    # halves the scratch, so full-row configs (red 1.25) fit at 5120^2 f32
-    # where band2 must panel (total red ~1.40) — measured +6.5%. Relay
-    # profile claims only the TPU-validated pair.
-    assert driver.select_band3(p(5120, 5120), "auto", jnp.float32) is False
+    # Round-4 history: band3's full-row config claimed 5120^2 f32 under
+    # the paired form (+6.5%, bench_r4_wide_chunk2.json), then lost the
+    # claim when the fused default landed — its B64 full-row kernel fails
+    # the relay compile and band2-panel-fused wins in-session
+    # (bench_r4_ladder.json / bench_r4_fusededge.json). On the relay
+    # profile band3 is explicit-only everywhere now.
+    assert driver.select_band3(p(5120, 5120), "auto", jnp.float32) is None
     # band2 full-row widths stay band2 (parity-or-better, r4 A/B)...
     for n in (1536, 2048, 3072, 4096):
         assert driver.select_band3(p(n, n), "auto", jnp.float32) is None, n

@@ -59,7 +59,10 @@ def test_resident_backend_in_driver():
     ref = run_simulation(params, obstacles, backend="reference")
     res = run_simulation(params, obstacles, backend="resident")
     np.testing.assert_allclose(res.cells, ref.cells, atol=3e-7)
-    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-5)
+    # atol: the kernels run the fused collision form by default (round 4)
+    # while the jnp reference backend keeps the literal grouping — the tiny
+    # re-rounding shows up as ~2e-9 absolute on the near-zero early av_vels.
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-5, atol=1e-8)
 
 
 def test_resident_rejects_unsupported():

@@ -83,7 +83,7 @@ def test_sharded_pallas_matches_sharded_jnp(small_params, small_obstacles):
     jnp_res = run_simulation_sharded(p, obs, n_devices=2, backend="reference")
     pal_res = run_simulation_sharded(p, obs, n_devices=2, backend="pallas")
     np.testing.assert_allclose(pal_res.cells, jnp_res.cells, atol=2e-7)
-    np.testing.assert_allclose(pal_res.av_vels, jnp_res.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(pal_res.av_vels, jnp_res.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_sharded_pallas_matches_single_device_pallas(small_params):
@@ -198,7 +198,7 @@ def test_sharded_2d_pallas_matches_jnp(mesh_shape):
     pal_res = run_simulation_sharded_2d(p, obs, mesh_shape=mesh_shape,
                                         backend="pallas")
     np.testing.assert_allclose(pal_res.cells, jnp_res.cells, atol=2e-7)
-    np.testing.assert_allclose(pal_res.av_vels, jnp_res.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(pal_res.av_vels, jnp_res.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_sharded_2d_pallas_matches_single_device():
@@ -216,7 +216,7 @@ def test_sharded_2d_pallas_matches_single_device():
     single = run_simulation(p, obs, backend="reference", dtype=jnp.float64)
     pal = run_simulation_sharded_2d(p, obs, mesh_shape=(2, 2), backend="pallas")
     np.testing.assert_allclose(pal.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(pal.av_vels, single.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(pal.av_vels, single.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_sharded_2d_pallas_rejects_bad_local_grid():
@@ -254,7 +254,7 @@ def test_sharded_overlap_rdma_matches_jnp(n_devices):
     ovl_res = run_simulation_sharded(p, obs, n_devices=n_devices,
                                      backend="pallas-overlap")
     np.testing.assert_allclose(ovl_res.cells, jnp_res.cells, atol=2e-7)
-    np.testing.assert_allclose(ovl_res.av_vels, jnp_res.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(ovl_res.av_vels, jnp_res.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_sharded_bf16_av_series_is_f32(small_params, small_obstacles):
@@ -393,7 +393,7 @@ def test_sharded_band_matches_reference(monkeypatch):
         params, obstacles, n_devices=2, backend="band"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band_forcing_row_wrap(monkeypatch):
@@ -408,7 +408,7 @@ def test_sharded_band_forcing_row_wrap(monkeypatch):
         params, obstacles, n_devices=4, backend="band"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band_c16(monkeypatch):
@@ -442,7 +442,7 @@ def test_sharded_band_panel_matches_reference(monkeypatch):
         params, obstacles, n_devices=2, backend="band"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band_panel_c16(monkeypatch):
@@ -475,7 +475,7 @@ def test_sharded_band2_matches_reference(monkeypatch):
         params, obstacles, n_devices=2, backend="band2"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band2_forcing_row_wrap(monkeypatch):
@@ -490,7 +490,7 @@ def test_sharded_band2_forcing_row_wrap(monkeypatch):
         params, obstacles, n_devices=4, backend="band2"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band2_panel_matches_reference(monkeypatch):
@@ -507,7 +507,7 @@ def test_sharded_band2_panel_matches_reference(monkeypatch):
         params, obstacles, n_devices=2, backend="band2"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band2_panel_forcing_row_wrap(monkeypatch):
@@ -523,7 +523,7 @@ def test_sharded_band2_panel_forcing_row_wrap(monkeypatch):
         params, obstacles, n_devices=4, backend="band2"
     )
     np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
-    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_sharded_band2_panel_c16(monkeypatch):

@@ -96,7 +96,7 @@ def test_slab_backend_in_driver(monkeypatch):
     ref = run_simulation(params, obstacles, backend="reference")
     slab = run_simulation(params, obstacles, backend="slab")
     np.testing.assert_allclose(slab.cells, ref.cells, atol=3e-7)
-    np.testing.assert_allclose(slab.av_vels, ref.av_vels, rtol=5e-5)
+    np.testing.assert_allclose(slab.av_vels, ref.av_vels, rtol=5e-5, atol=3e-8)
 
 
 def test_slab_rejects_unsupported(monkeypatch):

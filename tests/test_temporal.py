@@ -121,7 +121,7 @@ def test_temporal_backend_in_driver():
     ref = run_simulation(params, obstacles, backend="reference")
     tmp = run_simulation(params, obstacles, backend="temporal")
     np.testing.assert_allclose(tmp.cells, ref.cells, atol=3e-7)
-    np.testing.assert_allclose(tmp.av_vels, ref.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(tmp.av_vels, ref.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_temporal_backend_depth_env(monkeypatch):
@@ -134,7 +134,7 @@ def test_temporal_backend_depth_env(monkeypatch):
     monkeypatch.setenv("LBM_TEMPORAL_DEPTH", "3")
     tmp = run_simulation(params, obstacles, backend="temporal")
     np.testing.assert_allclose(tmp.cells, ref.cells, atol=3e-7)
-    np.testing.assert_allclose(tmp.av_vels, ref.av_vels, rtol=1e-5)
+    np.testing.assert_allclose(tmp.av_vels, ref.av_vels, rtol=1e-5, atol=3e-8)
 
 
 def test_temporal_rejects_unsupported():
