@@ -45,18 +45,21 @@ class Timeout(Exception):
 
 # (tag_prefix, ny, nx, iters): iters are multiples of the 254-step chunk so
 # every variant is ONE kernel build (no remainder kernel), sized for
-# ~0.3-1 s timed runs (>> the ~25 ms sync RPC).
+# ~0.3-1 s timed runs (>> the ~25 ms sync RPC). The 1024^2 row probes the
+# AA latency residue (DESIGN.md fused section: ~79-90% of the VPU ceiling
+# at the resident sizes where 128^2 sustains ~95%).
 SHAPES = (
     ("g128", 128, 128, 254 * 1200),
     ("g128x256", 256, 128, 254 * 600),
     ("g256", 256, 256, 254 * 500),
+    ("g1024", 1024, 1024, 254 * 32),
 )
 VARIANTS = (
-    ("base", "", True),
-    ("noforce", "noforce", True),
-    ("noav", "noav", True),
-    ("nofa", "noforce,noav", True),
-    ("fused", "", "fused"),
+    ("base", "", "fused"),
+    ("noforce", "noforce", "fused"),
+    ("noav", "noav", "fused"),
+    ("nofa", "noforce,noav", "fused"),
+    ("paired", "", True),
 )
 
 
