@@ -78,7 +78,33 @@ def paired_default():
         return False
     if mode == "paired":
         return True
+    if mode == "fused-slowav":
+        return "fused-slowav"
     return "fused"
+
+
+def u_mag(u_sq, paired=None):
+    """|u| from ``u_sq`` for the per-step av_vels reduction.
+
+    NEGATIVE RESULT, kept as the single place the form lives: the
+    hand-written fast form ``u_sq * rsqrt(u_sq + 1e-35)`` measured
+    BIT-IDENTICAL and rate-identical to ``jnp.sqrt`` on TPU
+    (bench_r4_fastav.json: same best time, tot_u[-1] rel_diff exactly
+    0.0 at 128² and 1024²) — Mosaic already lowers f32 sqrt through the
+    same rsqrt sequence. The per-step reduction's real cost is the sum
+    lowering, attacked structurally in the kernels (the (8, nx)
+    row-group accumulator), not here.
+
+    ``paired`` is the collide-form token (it rides every kernel's
+    static-arg/lru cache plumbing and stays in the signature so future
+    reduction forms can key on it; ``"fused-slowav"`` is accepted by
+    ``paired_default`` for A/B sweeps and currently maps to the same
+    sqrt).
+    """
+    import jax.numpy as jnp
+
+    del paired  # form-neutral since bench_r4_fastav.json
+    return jnp.sqrt(u_sq)
 
 
 def moments(t):
@@ -152,9 +178,11 @@ def bgk_relax(t, omega, *, paired=True):
     ``relaxed`` is the pre-bounce-back 9-tuple ``t_k + omega (feq_k - t_k)``
     (kernels.cl:148-177); the caller applies its own obstacle blend.
     ``paired`` is tri-valued: ``False`` literal, ``True`` paired,
-    ``"fused"`` the omega-folded form (module docstring).
+    ``"fused"`` the omega-folded form (module docstring). A string
+    ``"fused-slowav"`` is the fused form too — the suffix only keys the
+    ``u_mag`` reduction form (A/B plumbing, see ``u_mag``).
     """
-    if paired == "fused":
+    if isinstance(paired, str) and paired.startswith("fused"):
         return _bgk_fused(t, omega)
     rho, _, u_x, u_y, u_sq = moments(t)
     common = 1.0 - u_sq * (0.5 / C_SQ)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
 from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
@@ -245,7 +245,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         )
         # Central band sliced BEFORE any reduction arithmetic: edge garbage
         # (incl. 1/rho infinities) never reaches the sums.
-        sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
+        sums_ref[i, s] = jnp.sum(nob_mid * u_mag(usq[T : T + B], paired))
         return new
 
     buf = _run_steps(T, step_body, buf, unroll)
@@ -523,7 +523,7 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
         sums_ref[i, j, s] = jnp.sum(
-            nob_mid * jnp.sqrt(usq[T : T + B, H : H + P])
+            nob_mid * u_mag(usq[T : T + B, H : H + P], paired)
         )
         return new
 
@@ -774,7 +774,7 @@ def _kernel_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref, out_ref, sums_ref,
         new = tuple(
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
-        sums_ref[i, s] = jnp.sum(nob_mid * jnp.sqrt(usq[T : T + B]))
+        sums_ref[i, s] = jnp.sum(nob_mid * u_mag(usq[T : T + B], paired))
         return new
 
     buf = jax.lax.fori_loop(0, T, step_body, buf)
@@ -1021,7 +1021,7 @@ def _kernel_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
         sums_ref[i, j, s] = jnp.sum(
-            nob_mid * jnp.sqrt(usq[T : T + B, H : H + P])
+            nob_mid * u_mag(usq[T : T + B, H : H + P], paired)
         )
         return new
 

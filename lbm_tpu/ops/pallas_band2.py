@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
 from lbm_tpu.ops.pallas_band import band_supported, nobst_ext
 from lbm_tpu.ops.pallas_temporal import _sublane_tile
 
@@ -176,7 +176,7 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             lo, hi = max(r0, T), min(r0 + tile_w, T + B)
             if lo < hi:
                 total = total + jnp.sum(
-                    nob_all[lo:hi] * jnp.sqrt(usq[lo - r0 : hi - r0])
+                    nob_all[lo:hi] * u_mag(usq[lo - r0 : hi - r0], paired)
                 )
         sums_ref[i, s] = total
 
@@ -388,7 +388,7 @@ def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
             if lo < hi:
                 total = total + jnp.sum(
                     nob_all[lo:hi, H : H + P]
-                    * jnp.sqrt(usq[lo - r0 : hi - r0, H : H + P])
+                    * u_mag(usq[lo - r0 : hi - r0, H : H + P], paired)
                 )
         sums_ref[i, j, s] = total
 
@@ -632,7 +632,7 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
             lo, hi = max(r0t, T), min(r0t + tile_w, T + B)
             if lo < hi:
                 total = total + jnp.sum(
-                    nob_all[lo:hi] * jnp.sqrt(usq[lo - r0t : hi - r0t])
+                    nob_all[lo:hi] * u_mag(usq[lo - r0t : hi - r0t], paired)
                 )
         sums_ref[i, s] = total
 
@@ -851,7 +851,7 @@ def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
             if lo < hi:
                 total = total + jnp.sum(
                     nob_all[lo:hi, H : H + P]
-                    * jnp.sqrt(usq[lo - r0t : hi - r0t, H : H + P])
+                    * u_mag(usq[lo - r0t : hi - r0t, H : H + P], paired)
                 )
         sums_ref[i, j, s] = total
 

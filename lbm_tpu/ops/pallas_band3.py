@@ -74,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
 from lbm_tpu.ops.pallas_band import (
     band_panel_supported,
     band_supported,
@@ -199,7 +199,7 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
             if lo >= hi:
                 return None
             nob = nob_all[lo:hi]
-            u = jnp.sqrt(usq[lo - r0 : hi - r0])
+            u = u_mag(usq[lo - r0 : hi - r0], paired)
             if sums_cols is not None:
                 c0, c1 = sums_cols
                 return jnp.sum(nob[:, c0:c1] * u[:, c0:c1])

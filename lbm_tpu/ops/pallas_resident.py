@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
 
 # Whole-state VMEM budget, measured on v5e (128 MB VMEM): input window
 # (= state) + output window (= state) + nobst + tile temporaries must fit.
@@ -148,7 +148,7 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
             for k in range(9):
                 dst[k, r0 : r0 + tile] = jnp.where(nob_b, relaxed[k], t[opp[k]])
 
-            part = jnp.sum(nob * jnp.sqrt(u_sq))
+            part = jnp.sum(nob * u_mag(u_sq, paired))
             total = part if total is None else total + part
         return total
 
@@ -189,7 +189,7 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
 
             t = tuple(roll2(c[k], cys[k], cxs[k]) for k in range(9))
             relaxed, u_sq = bgk_relax(t, omega, paired=paired)
-            av_ref[tt, 0] = jnp.sum(nobst_full * jnp.sqrt(u_sq))
+            av_ref[tt, 0] = jnp.sum(nobst_full * u_mag(u_sq, paired))
             return tuple(
                 jnp.where(nob_b_full, relaxed[k], t[opp[k]]) for k in range(9)
             )

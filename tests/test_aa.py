@@ -146,7 +146,7 @@ def test_aa_multi_tile(iters, tile, monkeypatch):
     rows and the short last tile — are exercised; per-(row, slot) ownership
     must make any tile order safe."""
     monkeypatch.setattr(
-        pallas_aa, "_pick_tile", lambda ny, nx, itemsize=4: tile
+        pallas_aa, "_pick_tile", lambda ny, nx, itemsize=4, fused=False: tile
     )
     params = dataclasses.replace(PARAMS, ny=24)
     state, obstacles = make_setup(params, seed=7)
