@@ -78,8 +78,8 @@ def paired_default():
         return False
     if mode == "paired":
         return True
-    if mode == "fused-slowav":
-        return "fused-slowav"
+    if mode in ("fused-slowav", "fused-treeav", "fused-vecav", "fused-mxuav"):
+        return mode
     return "fused"
 
 
@@ -105,6 +105,91 @@ def u_mag(u_sq, paired=None):
 
     del paired  # form-neutral since bench_r4_fastav.json
     return jnp.sqrt(u_sq)
+
+
+def av_form(paired, form=None):
+    """Resolve the av-reduction structure token: "tree" | "vec" | "mxu".
+
+    ``paired`` is the collide-form string riding every kernel's
+    static-arg/lru plumbing; a ``-vecav`` / ``-mxuav`` suffix
+    (``LBM_COLLIDE=fused-vecav`` etc.) selects the alternative
+    structures for A/B sweeps. ``form`` overrides outright.
+    """
+    if form is not None:
+        return form
+    if isinstance(paired, str):
+        if "vecav" in paired:
+            return "vec"
+        if "mxuav" in paired:
+            return "mxu"
+    return "tree"
+
+
+def av_fold(acc, nob, u_sq, paired=None, form=None):
+    """Fold one tile's masked |u| into the per-step av_vels accumulator.
+
+    ``acc`` is ``None`` or the ``(vec, scal)`` pair this returns;
+    ``av_total`` collapses it to the per-step scalar. Three structures
+    (A/B'd in bench_r4_vecav.json / bench_r4_mxuav.json at 1024² AA):
+
+    - ``tree`` (default): one full ``(rows, nx) -> scalar`` ``jnp.sum``
+      per tile into the scalar slot. Mosaic lowers this at ~4.3 us/step
+      at 1024² (~4x the ideal 1 add/cell — bench_r4_fastav.json
+      rawav-vs-noav gap), but it BEAT the hand-vectorized form below.
+    - ``vec``: an (8, nx) vector partial folded with one row-group add
+      per 8 rows, ONE small scalar tree per step. NEGATIVE result:
+      42.74 vs tree's 41.62 us/step at 1024² (bench_r4_vecav.json) —
+      the unrolled row-group adds schedule worse than Mosaic's own
+      reduction despite fewer nominal ops. Kept for A/B.
+    - ``mxu``: row-reduce ``nob*u`` on the OTHERWISE-IDLE MXU via
+      ``ones(1, rows) @ (nob*u)``, accumulating a (1, nx) partial; ONE
+      small scalar tree per step. D2Q9 has no matmuls, so the systolic
+      array is free — the VPU pays only the mask multiply.
+
+    Rows not reaching a full 8-row group under ``vec`` (band slices with
+    non-sublane-aligned depth offsets) spill to the scalar slot.
+    """
+    import jax.numpy as jnp
+
+    vec, scal = (None, None) if acc is None else acc
+    u = u_mag(u_sq, paired)
+    structure = av_form(paired, form)
+    if structure == "vec":
+        h = u.shape[0]
+        full = h - h % 8
+        for g in range(0, full, 8):
+            term = nob[g : g + 8] * u[g : g + 8]
+            vec = term if vec is None else vec + term
+        if h % 8:
+            part = jnp.sum(nob[full:] * u[full:])
+            scal = part if scal is None else scal + part
+        return vec, scal
+    if structure == "mxu":
+        import jax
+
+        ones = jnp.ones((1, u.shape[0]), jnp.float32)
+        term = jax.lax.dot_general(
+            ones, nob * u, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        vec = term if vec is None else vec + term
+        return vec, scal
+    part = jnp.sum(nob * u)
+    return vec, (part if scal is None else scal + part)
+
+
+def av_total(acc):
+    """Collapse an ``av_fold`` accumulator to the per-step scalar."""
+    import jax.numpy as jnp
+
+    if acc is None:
+        return jnp.float32(0.0)
+    vec, scal = acc
+    tot = None if vec is None else jnp.sum(vec)
+    if scal is not None:
+        tot = scal if tot is None else tot + scal
+    return jnp.float32(0.0) if tot is None else tot
 
 
 def moments(t):
@@ -178,9 +263,10 @@ def bgk_relax(t, omega, *, paired=True):
     ``relaxed`` is the pre-bounce-back 9-tuple ``t_k + omega (feq_k - t_k)``
     (kernels.cl:148-177); the caller applies its own obstacle blend.
     ``paired`` is tri-valued: ``False`` literal, ``True`` paired,
-    ``"fused"`` the omega-folded form (module docstring). A string
-    ``"fused-slowav"`` is the fused form too — the suffix only keys the
-    ``u_mag`` reduction form (A/B plumbing, see ``u_mag``).
+    ``"fused"`` the omega-folded form (module docstring). Strings
+    ``"fused-slowav"``/``"fused-treeav"`` are the fused form too — the
+    suffix only keys the reduction form (A/B plumbing, see ``u_mag`` /
+    ``av_fold``).
     """
     if isinstance(paired, str) and paired.startswith("fused"):
         return _bgk_fused(t, omega)

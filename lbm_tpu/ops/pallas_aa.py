@@ -46,8 +46,10 @@ DMA of the scratch), exactly like the ping-pong kernel, but VMEM holds it
 once.
 
 Arithmetic is f32 regardless of the storage dtype; per-step reductions
-are exact (each cell counted once, same operation order as the other
-kernels). bf16 storage rounds between steps like the block kernel's bf16
+are exact (each cell counted once; the default per-tile-tree structure
+keeps the same operation order as the other kernels — the alternative
+``vecav``/``mxuav`` structures in collision.av_fold reorder the f32
+sums, well inside the checker's 1% gate). bf16 storage rounds between steps like the block kernel's bf16
 mode; c16 (int16 companded deviations, ops/devspace.py) halves the VMEM
 footprint — doubling the on-chip grid area — decoding after every load
 and encoding before every store (the forcing rows pay one extra encode
@@ -65,7 +67,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
 _CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
@@ -171,6 +173,27 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
     # small-grid sections).
     probe_noforce = "noforce" in probe
     probe_noav = "noav" in probe
+    # Reduction-form tokens (bench_r4_aasmall.json attributed 9-19% of the
+    # step to the |u| reduction): "rawav" drops the sqrt entirely (wrong
+    # series — the sqrt-cost lower bound); "vecav"/"mxuav"/"treeav" force
+    # a reduction STRUCTURE (collision.av_fold — tree is the measured
+    # default, vecav the bench_r4_vecav.json negative result, mxuav the
+    # idle-systolic-array offload); "slowav" (the sqrt-vs-rsqrt A/B) is
+    # form-neutral since bench_r4_fastav.json and accepted as a no-op.
+    probe_rawav = "rawav" in probe
+    probe_form = None
+    for _tok, _form in (("vecav", "vec"), ("mxuav", "mxu"), ("treeav", "tree")):
+        if _tok in probe:
+            probe_form = _form
+
+    def av_accumulate(acc, nob, u_sq):
+        """Fold one tile's masked |u| into the per-step accumulator
+        (collision.av_fold; ``av_store`` collapses once per step)."""
+        if probe_rawav:
+            vec, scal = (None, None) if acc is None else acc
+            part = jnp.sum(nob * u_sq)
+            return vec, (part if scal is None else scal + part)
+        return av_fold(acc, nob, u_sq, paired, form=probe_form)
     planes = scratch[:9]
     sem_in, sem_out = scratch[9], scratch[10]
 
@@ -289,7 +312,9 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             state[s, ny - 2 : ny - 1] = to_store(row(s, ny - 2) + m * w, s)
 
     def av_store(av_idx, total):
-        av_ref[av_idx, 0] = jnp.float32(0.0) if total is None else total
+        # One small (8, nx) tree reduction per STEP (vs one (tile, nx)
+        # tree per tile before round 4).
+        av_ref[av_idx, 0] = av_total(total)
 
     def even_step(av_idx):
         """S -> C: local collide, write slot opp(k) <- value traveling k."""
@@ -304,8 +329,7 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             for k in range(9):
                 write(_OPP[k], r0, jnp.where(nob_b, relaxed[k], t[_OPP[k]]))
             if not probe_noav:
-                part = jnp.sum(nob * jnp.sqrt(u_sq))
-                total = part if total is None else total + part
+                total = av_accumulate(total, nob, u_sq)
         av_store(av_idx, total)
 
     def odd_step(av_idx):
@@ -325,8 +349,7 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
                 out_k = jnp.where(nob_b, relaxed[k], t[_OPP[k]])
                 write(k, r0 + _CYS[k], shift_x(out_k, _CXS[k]))
             if not probe_noav:
-                part = jnp.sum(nob * jnp.sqrt(u_sq))
-                total = part if total is None else total + part
+                total = av_accumulate(total, nob, u_sq)
         av_store(av_idx, total)
 
     def pair(i, _):

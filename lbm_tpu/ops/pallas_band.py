@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
@@ -245,7 +245,7 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         )
         # Central band sliced BEFORE any reduction arithmetic: edge garbage
         # (incl. 1/rho infinities) never reaches the sums.
-        sums_ref[i, s] = jnp.sum(nob_mid * u_mag(usq[T : T + B], paired))
+        sums_ref[i, s] = av_total(av_fold(None, nob_mid, usq[T : T + B], paired))
         return new
 
     buf = _run_steps(T, step_body, buf, unroll)
@@ -522,8 +522,8 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
         new = tuple(
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
-        sums_ref[i, j, s] = jnp.sum(
-            nob_mid * u_mag(usq[T : T + B, H : H + P], paired)
+        sums_ref[i, j, s] = av_total(
+            av_fold(None, nob_mid, usq[T : T + B, H : H + P], paired)
         )
         return new
 
@@ -774,7 +774,7 @@ def _kernel_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref, out_ref, sums_ref,
         new = tuple(
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
-        sums_ref[i, s] = jnp.sum(nob_mid * u_mag(usq[T : T + B], paired))
+        sums_ref[i, s] = av_total(av_fold(None, nob_mid, usq[T : T + B], paired))
         return new
 
     buf = jax.lax.fori_loop(0, T, step_body, buf)
@@ -1020,8 +1020,8 @@ def _kernel_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
         new = tuple(
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
-        sums_ref[i, j, s] = jnp.sum(
-            nob_mid * u_mag(usq[T : T + B, H : H + P], paired)
+        sums_ref[i, j, s] = av_total(
+            av_fold(None, nob_mid, usq[T : T + B, H : H + P], paired)
         )
         return new
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_band import band_supported, nobst_ext
 from lbm_tpu.ops.pallas_temporal import _sublane_tile
 
@@ -132,7 +132,7 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
     def one_step(src, dst, s):
         force_rows(src)
-        total = 0.0
+        total = None
         for j in range(ntiles):
             r0 = j * tile_w
 
@@ -175,10 +175,10 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             # never reaches the sums.
             lo, hi = max(r0, T), min(r0 + tile_w, T + B)
             if lo < hi:
-                total = total + jnp.sum(
-                    nob_all[lo:hi] * u_mag(usq[lo - r0 : hi - r0], paired)
+                total = av_fold(
+                    total, nob_all[lo:hi], usq[lo - r0 : hi - r0], paired
                 )
-        sums_ref[i, s] = total
+        sums_ref[i, s] = av_total(total)
 
     def two_steps(h, carry):
         one_step(a_ref, b_ref, 2 * h)
@@ -349,7 +349,7 @@ def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
 
     def one_step(src, dst, s):
         force_rows(src)
-        total = 0.0
+        total = None
         for jt in range(ntiles):
             r0 = jt * tile_w
 
@@ -386,11 +386,11 @@ def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
                 )
             lo, hi = max(r0, T), min(r0 + tile_w, T + B)
             if lo < hi:
-                total = total + jnp.sum(
-                    nob_all[lo:hi, H : H + P]
-                    * u_mag(usq[lo - r0 : hi - r0, H : H + P], paired)
+                total = av_fold(
+                    total, nob_all[lo:hi, H : H + P],
+                    usq[lo - r0 : hi - r0, H : H + P], paired,
                 )
-        sums_ref[i, j, s] = total
+        sums_ref[i, j, s] = av_total(total)
 
     def two_steps(h, carry):
         one_step(a_ref, b_ref, 2 * h)
@@ -591,7 +591,7 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
                 [am_all[lo:], am_all[: lo + h - W]], axis=0
             )
 
-        total = 0.0
+        total = None
         for jt in range(ntiles):
             r0t = jt * tile_w
 
@@ -631,10 +631,10 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
                 )
             lo, hi = max(r0t, T), min(r0t + tile_w, T + B)
             if lo < hi:
-                total = total + jnp.sum(
-                    nob_all[lo:hi] * u_mag(usq[lo - r0t : hi - r0t], paired)
+                total = av_fold(
+                    total, nob_all[lo:hi], usq[lo - r0t : hi - r0t], paired
                 )
-        sums_ref[i, s] = total
+        sums_ref[i, s] = av_total(total)
 
     def two_steps(h, carry):
         one_step(a_ref, b_ref, 2 * h)
@@ -809,7 +809,7 @@ def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
                 [am_all[lo:], am_all[: lo + h - W]], axis=0
             )
 
-        total = 0.0
+        total = None
         for jt in range(ntiles):
             r0t = jt * tile_w
 
@@ -849,11 +849,11 @@ def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
                 )
             lo, hi = max(r0t, T), min(r0t + tile_w, T + B)
             if lo < hi:
-                total = total + jnp.sum(
-                    nob_all[lo:hi, H : H + P]
-                    * u_mag(usq[lo - r0t : hi - r0t, H : H + P], paired)
+                total = av_fold(
+                    total, nob_all[lo:hi, H : H + P],
+                    usq[lo - r0t : hi - r0t, H : H + P], paired,
                 )
-        sums_ref[i, j, s] = total
+        sums_ref[i, j, s] = av_total(total)
 
     def two_steps(h, carry):
         one_step(a_ref, b_ref, 2 * h)

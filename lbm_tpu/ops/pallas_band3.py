@@ -74,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_band import (
     band_panel_supported,
     band_supported,
@@ -194,16 +194,16 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
             r = r % W
             return s_ref[k, r : r + 1]
 
-        def part_sum(usq, r0):
+        def part_fold(total, usq, r0):
             lo, hi = max(r0, T), min(r0 + tile_w, T + B)
             if lo >= hi:
-                return None
+                return total
             nob = nob_all[lo:hi]
-            u = u_mag(usq[lo - r0 : hi - r0], paired)
+            u_sq = usq[lo - r0 : hi - r0]
             if sums_cols is not None:
                 c0, c1 = sums_cols
-                return jnp.sum(nob[:, c0:c1] * u[:, c0:c1])
-            return jnp.sum(nob * u)
+                return av_fold(total, nob[:, c0:c1], u_sq[:, c0:c1], paired)
+            return av_fold(total, nob, u_sq, paired)
 
         positions = ((B + T - 2, gate_last), (T - 2, gate_first))
 
@@ -225,7 +225,7 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
             """S -> C: local collide, slot opp(k) <- value traveling k.
             (Forcing already applied — by force_s before the chunk, or by
             the previous odd step's fusion.)"""
-            total = 0.0
+            total = None
             for j in range(ntiles):
                 r0 = j * tile_w
                 t = tuple(s_ref[k, r0 : r0 + tile_w] for k in range(9))
@@ -235,17 +235,15 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
                     s_ref[_OPP[k], r0 : r0 + tile_w] = jnp.where(
                         nob_b, relaxed[k], t[_OPP[k]]
                     )
-                p = part_sum(usq, r0)
-                if p is not None:
-                    total = total + p
-            sums_write(s, total)
+                total = part_fold(total, usq, r0)
+            sums_write(s, av_total(total))
 
         def odd_step(s, fuse: bool):
             """C -> S: gather t_k from (x - c_k, opp(k)), collide, scatter
             value-traveling-k to (x + c_k, k); optionally fuse the next
             even step's forcing (see module docstring)."""
             force_odd()
-            total = 0.0
+            total = None
             for j in range(ntiles):
                 r0 = j * tile_w
                 t = tuple(
@@ -285,10 +283,8 @@ def _make_body(*, B, T, WX_roll, tile_w, w1a, w2a, omega, paired,
                                 row(k, r)
                                 + shift_x(m0, _CXS[k]) * sign * wgt[kind],
                             )
-                p = part_sum(usq, r0)
-                if p is not None:
-                    total = total + p
-            sums_write(s, total)
+                total = part_fold(total, usq, r0)
+            sums_write(s, av_total(total))
 
         return even_step, odd_step
 

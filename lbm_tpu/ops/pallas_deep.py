@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
@@ -154,7 +154,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             jnp.where(nob_b_out, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
         c0 = u - 1
-        sums_ref[i, s - 1] = jnp.sum(nob_mid * u_mag(usq[c0 : c0 + B], paired))
+        sums_ref[i, s - 1] = av_total(
+            av_fold(None, nob_mid, usq[c0 : c0 + B], paired)
+        )
 
     if dev is not None:
         from lbm_tpu.ops.devspace import encode_value

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, paired_default
 from lbm_tpu.ops.pallas_step import _physics
 
 
@@ -134,7 +134,7 @@ def _kernel_overlap(cells_ref, halo_dn_ref, halo_up_ref, nobst_ref, owner_ref,
     halo_up_out_ref[0, 0:1] = res[4][0:1]
     halo_up_out_ref[0, 1:2] = res[7][0:1]
     halo_up_out_ref[0, 2:3] = res[8][0:1]
-    sums_ref[g, 0] = jnp.sum(nobst * u_mag(u_sq, paired))
+    sums_ref[g, 0] = av_total(av_fold(None, nobst, u_sq, paired))
 
 
 @functools.lru_cache(maxsize=None)

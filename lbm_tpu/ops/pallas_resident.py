@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 
 # Whole-state VMEM budget, measured on v5e (128 MB VMEM): input window
 # (= state) + output window (= state) + nobst + tile temporaries must fit.
@@ -148,9 +148,8 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
             for k in range(9):
                 dst[k, r0 : r0 + tile] = jnp.where(nob_b, relaxed[k], t[opp[k]])
 
-            part = jnp.sum(nob * u_mag(u_sq, paired))
-            total = part if total is None else total + part
-        return total
+            total = av_fold(total, nob, u_sq, paired)
+        return av_total(total)
 
     if 9 * ny * nx * 4 <= _VALUE_CARRY_BYTES:
         # Small-state fast path: carry the planes as VALUES through the loop
@@ -189,7 +188,7 @@ def _mega_kernel(cells_ref, nobst_ref, owner_ref, out_ref, av_ref,
 
             t = tuple(roll2(c[k], cys[k], cxs[k]) for k in range(9))
             relaxed, u_sq = bgk_relax(t, omega, paired=paired)
-            av_ref[tt, 0] = jnp.sum(nobst_full * u_mag(u_sq, paired))
+            av_ref[tt, 0] = av_total(av_fold(None, nobst_full, u_sq, paired))
             return tuple(
                 jnp.where(nob_b_full, relaxed[k], t[opp[k]]) for k in range(9)
             )

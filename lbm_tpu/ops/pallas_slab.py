@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_band import band_supported
 from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
 
@@ -162,7 +162,7 @@ def _kernel_slab(c_ref, top_ref, bot_ref, nobst_ref, smask_ref, r0_ref,
         new = tuple(
             jnp.where(nob_b_all, relaxed[k], t[_OPP[k]]) for k in range(9)
         )
-        sums_ref[i, s] = jnp.sum(smask_mid * u_mag(usq[T : T + B], paired))
+        sums_ref[i, s] = av_total(av_fold(None, smask_mid, usq[T : T + B], paired))
         return new
 
     buf = jax.lax.fori_loop(0, T, step_body, buf)

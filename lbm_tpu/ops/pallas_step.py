@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 
 def _pick_block(ny: int, nx: int, dtype=jnp.float32) -> int | None:
     """Row-block height B (must divide ny; multiples of the sublane tile —
@@ -271,7 +271,7 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
     # --- per-block reduction (replaces tot_us + host sum) ------------------
     # sums_ref is the full (nblk, 1) SMEM accumulator, resident across the
     # sequential grid; each block writes its own slot.
-    sums_ref[i, 0] = jnp.sum(nobst * u_mag(u_sq, paired))
+    sums_ref[i, 0] = av_total(av_fold(None, nobst, u_sq, paired))
 
 
 @functools.lru_cache(maxsize=None)

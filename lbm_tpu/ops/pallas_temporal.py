@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lbm_tpu.ops.collision import bgk_relax, paired_default, u_mag
+from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 
 _CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
 _CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
@@ -196,7 +196,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
         if probe == "nosum":
             sums_ref[i, s - 1] = usq[0, 0]
         else:
-            sums_ref[i, s - 1] = jnp.sum(nob_mid * u_mag(usq[c0 : c0 + B], paired))
+            sums_ref[i, s - 1] = av_total(
+                av_fold(None, nob_mid, usq[c0 : c0 + B], paired)
+            )
 
     # ---- outputs -------------------------------------------------------------
     if dev is not None:
