@@ -78,9 +78,35 @@ def paired_default():
         return False
     if mode == "paired":
         return True
-    if mode in ("fused-slowav", "fused-treeav", "fused-vecav", "fused-mxuav"):
+    if mode in ("fused-slowav", "fused-treeav", "fused-vecav",
+                "fused-mxuav", "fused-mxuavdef"):
         return mode
     return "fused"
+
+
+# AA shapes where the MXU av-reduction measured a win over the tree
+# form on TPU, best-of-3 interleaved (bench_r4_mxuroute.json): 1024²
+# mxu(HIGHEST) 26,493 vs tree 25,245 MLUPS (+4.9%); single-pass DEFAULT
+# reached 26,852 (+6.4%) but its bf16 input rounding cost real gate
+# margin (1024² av max diff 0.284% vs the tree's 0.038-0.15%,
+# bench_r4_gold_mxuav.json) — auto ships HIGHEST (series err 8.5e-8,
+# gate margin unchanged); DEFAULT stays opt-in via
+# LBM_COLLIDE=fused-mxuavdef. At 512²/256² the per-tile matmul latency
+# loses ~1%; band2 measured +2.4% at 2048² but -4.3% at 4096² — band
+# stays tree. Wider AA shapes (1280²/1408² f32, c16 1536²+) extend per
+# probe (validated-sizes invariant: every entry here ran on silicon).
+_AV_MXU_AA_SHAPES = {(1024, 1024)}
+
+
+def av_route(paired, ny, nx):
+    """Upgrade the plain default ``"fused"`` to the MXU av-reduction on
+    the AA shapes where it measured a win (table above). Explicit
+    ``LBM_COLLIDE`` suffixes (``fused-treeav`` etc.) are left alone, so
+    a pinned form always wins. Callers: the driver's AA dispatch only —
+    the band/temporal/deep kernels measured no robust win."""
+    if paired == "fused" and (ny, nx) in _AV_MXU_AA_SHAPES:
+        return "fused-mxuav"
+    return paired
 
 
 def u_mag(u_sq, paired=None):
@@ -120,6 +146,9 @@ def av_form(paired, form=None):
     if isinstance(paired, str):
         if "vecav" in paired:
             return "vec"
+        # longest-match first: "mxuavdef" contains "mxuav"
+        if "mxuavdef" in paired:
+            return "mxudef"
         if "mxuav" in paired:
             return "mxu"
     return "tree"
@@ -164,13 +193,23 @@ def av_fold(acc, nob, u_sq, paired=None, form=None):
             part = jnp.sum(nob[full:] * u[full:])
             scal = part if scal is None else scal + part
         return vec, scal
-    if structure == "mxu":
+    if structure.startswith("mxu"):
         import jax
 
+        # Pass count trades MXU latency for f32 exactness: HIGHEST = 6
+        # bf16 passes (~f32-exact, series err 8.5e-8), DEFAULT = 1
+        # (inputs rounded to bf16 — series err ~1e-5, still ~1000x inside
+        # the 1% gate, and +1.3% rate over HIGHEST at 1024²:
+        # bench_r4_mxuroute.json). Precision.HIGH is NOT lowered by
+        # Mosaic ("Unsupported dot precision: HIGH") — no token maps here.
+        prec = {
+            "mxu": jax.lax.Precision.HIGHEST,
+            "mxudef": jax.lax.Precision.DEFAULT,
+        }[structure]
         ones = jnp.ones((1, u.shape[0]), jnp.float32)
         term = jax.lax.dot_general(
             ones, nob * u, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
         vec = term if vec is None else vec + term

@@ -182,9 +182,11 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
     # form-neutral since bench_r4_fastav.json and accepted as a no-op.
     probe_rawav = "rawav" in probe
     probe_form = None
-    for _tok, _form in (("vecav", "vec"), ("mxuav", "mxu"), ("treeav", "tree")):
+    for _tok, _form in (("vecav", "vec"), ("mxuavdef", "mxudef"),
+                        ("mxuav", "mxu"), ("treeav", "tree")):
         if _tok in probe:
             probe_form = _form
+            break  # specific-first: "mxuavdef" contains "mxuav"
 
     def av_accumulate(acc, nob, u_sq):
         """Fold one tile's masked |u| into the per-step accumulator
@@ -456,7 +458,8 @@ def run_aa(cells, nobst, density, accel, omega, n_iters, *,
     state = stream_planes(cells)  # R -> S, once per run
     if tile is None:
         tile = _pick_tile(
-            ny, nx, jnp.dtype(cells.dtype).itemsize, fused=paired == "fused"
+            ny, nx, jnp.dtype(cells.dtype).itemsize,
+            fused=isinstance(paired, str) and paired.startswith("fused"),
         )
     if chunk is None:
         chunk = _CHUNK_STEPS

@@ -1172,6 +1172,7 @@ def run_simulation(
                 interpret=resident_interpret, **common,
             )
         if aa_interpret is not None:
+            from lbm_tpu.ops.collision import av_route
             from lbm_tpu.ops.pallas_aa import _pick_tile
 
             a_dtype = (
@@ -1179,13 +1180,19 @@ def run_simulation(
                 if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
                 else jnp.float32
             )
+            # MXU av-reduction on the measured-win AA shapes (+6.4% at
+            # 1024²); the fused tile clamp keys on the PREFIX — every
+            # fused-* suffix shares the fused form's live-plane count.
+            aa_paired = av_route(paired, params.ny, params.nx)
             return _run_aa.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=aa_interpret,
                 tile=_pick_tile(params.ny, params.nx,
                                 jnp.dtype(a_dtype).itemsize,
-                                fused=paired == "fused"),
-                dev=dev_tuple, chunk=aa_chunk_default(), **common,
+                                fused=isinstance(paired, str)
+                                and paired.startswith("fused")),
+                dev=dev_tuple, chunk=aa_chunk_default(),
+                **{**common, "paired": aa_paired},
             )
         if slab_interpret is not None:
             s_dtype = (

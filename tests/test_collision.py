@@ -178,3 +178,68 @@ def test_knob_rekeys_driver_jit_cache(backend, monkeypatch):
     assert not np.array_equal(out["literal"], out["fused"])
     np.testing.assert_allclose(out["paired"], out["literal"], rtol=0, atol=5e-7)
     np.testing.assert_allclose(out["fused"], out["literal"], rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["aa", "temporal"])
+def test_av_reduction_structures_agree(backend, monkeypatch):
+    """The av-reduction structures (collision.av_fold: tree default,
+    vec row-group partials, mxu idle-systolic-array row-sums at all three
+    matmul precisions) must leave the STATE bit-identical (the reduction
+    only reads u_sq) and keep the av_vels series within the f32
+    reorder/round envelope — far inside the checker's 1% gate."""
+    params = LBMParams(
+        nx=128, ny=64, max_iters=4, reynolds_dim=10, density=0.1,
+        accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(3)
+    obstacles = (rng.rand(64, 128) < 0.05).astype(np.int32)
+    out = {}
+    for mode in ("fused", "fused-vecav", "fused-mxuav", "fused-mxuavdef"):
+        monkeypatch.setenv("LBM_COLLIDE", mode)
+        r = run_simulation(params, obstacles, backend=backend)
+        out[mode] = (np.asarray(r.cells), np.asarray(r.av_vels))
+    base_cells, base_av = out["fused"]
+    for mode, (cells, av) in out.items():
+        np.testing.assert_allclose(cells, base_cells, rtol=0, atol=0)
+        np.testing.assert_allclose(av, base_av, rtol=2e-5)
+
+
+def test_av_reduction_structures_agree_band2():
+    """Same agreement through the band kernel family (direct run_band2 —
+    the driver's band2_config rejects test-sized grids): the band fold
+    slices non-sublane-aligned depth offsets, exercising av_fold's vec
+    spill path and the mxu fold under the trapezoid schedule."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from test_temporal import PARAMS, make_setup
+    from lbm_tpu.ops.pallas_band2 import run_band2
+
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=19)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    out = {}
+    for mode in ("fused", "fused-vecav", "fused-mxuav", "fused-mxuavdef"):
+        cells, tot_u = run_band2(
+            jnp.asarray(state), nobst, params.density, params.accel,
+            params.omega, params.max_iters, 32, 8, interpret=True,
+            paired=mode,
+        )
+        out[mode] = (np.asarray(cells), np.asarray(tot_u))
+    base_cells, base_av = out["fused"]
+    for mode, (cells, av) in out.items():
+        np.testing.assert_allclose(cells, base_cells, rtol=0, atol=0)
+        np.testing.assert_allclose(av, base_av, rtol=2e-5)
+
+
+def test_av_route_shapes():
+    """MXU av-reduction routing: only the measured-win AA shapes upgrade,
+    and an explicitly pinned suffix always survives untouched."""
+    from lbm_tpu.ops.collision import av_route
+
+    assert av_route("fused", 1024, 1024) == "fused-mxuav"
+    assert av_route("fused", 512, 512) == "fused"
+    assert av_route("fused", 128, 128) == "fused"
+    assert av_route("fused-treeav", 1024, 1024) == "fused-treeav"
+    assert av_route(True, 1024, 1024) is True
