@@ -92,10 +92,14 @@ def paired_default():
 # bench_r4_gold_mxuav.json) — auto ships HIGHEST (series err 8.5e-8,
 # gate margin unchanged); DEFAULT stays opt-in via
 # LBM_COLLIDE=fused-mxuavdef. At 512²/256² the per-tile matmul latency
-# loses ~1%; band2 measured +2.4% at 2048² but -4.3% at 4096² — band
-# stays tree. Wider AA shapes (1280²/1408² f32, c16 1536²+) extend per
-# probe (validated-sizes invariant: every entry here ran on silicon).
-_AV_MXU_AA_SHAPES = {(1024, 1024)}
+# loses ~1%; band2 measured +2.4% at 2048² but -4.3% at 4096² and
+# -1.5% at 1536² (bench_r4_mxuroute2.json) — band stays tree. The
+# extension session confirmed the whole upper AA regime: 1280² +4.2%
+# (24,266 vs 23,298), 1408² +4.5% (25,130 vs 24,050 — and the mxu body
+# compiles at the near-cliff clamped tile). c16 AA ≥1280-wide is
+# relay-compile-blocked (select_aa), so no c16 entries are probeable on
+# this mount. (Validated-sizes invariant: every entry ran on silicon.)
+_AV_MXU_AA_SHAPES = {(1024, 1024), (1280, 1280), (1408, 1408)}
 
 
 def av_route(paired, ny, nx):
