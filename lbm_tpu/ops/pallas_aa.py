@@ -318,6 +318,12 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
         # tree per tile before round 4).
         av_ref[av_idx, 0] = av_total(total)
 
+    # "avearly" probe token: fold the reduction right after bgk_relax,
+    # BEFORE the 9 plane writes, so the MXU matmul issues while the VPU
+    # runs the store phase (attribution for the not-fully-hidden matmul
+    # latency — trace-order experiment; Mosaic may reorder either way).
+    probe_avearly = "avearly" in probe
+
     def even_step(av_idx):
         """S -> C: local collide, write slot opp(k) <- value traveling k."""
         if not probe_noforce:
@@ -328,9 +334,11 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             relaxed, u_sq = bgk_relax(t, omega, paired=paired)
             nob = nob_tile(r0, h)
             nob_b = nob > 0.0
+            if probe_avearly and not probe_noav:
+                total = av_accumulate(total, nob, u_sq)
             for k in range(9):
                 write(_OPP[k], r0, jnp.where(nob_b, relaxed[k], t[_OPP[k]]))
-            if not probe_noav:
+            if not probe_avearly and not probe_noav:
                 total = av_accumulate(total, nob, u_sq)
         av_store(av_idx, total)
 
@@ -347,10 +355,12 @@ def _aa_kernel(cells_hbm, nobst_ref, owner_ref, out_hbm, av_ref,
             relaxed, u_sq = bgk_relax(t, omega, paired=paired)
             nob = nob_tile(r0, h)
             nob_b = nob > 0.0
+            if probe_avearly and not probe_noav:
+                total = av_accumulate(total, nob, u_sq)
             for k in range(9):
                 out_k = jnp.where(nob_b, relaxed[k], t[_OPP[k]])
                 write(k, r0 + _CYS[k], shift_x(out_k, _CXS[k]))
-            if not probe_noav:
+            if not probe_avearly and not probe_noav:
                 total = av_accumulate(total, nob, u_sq)
         av_store(av_idx, total)
 

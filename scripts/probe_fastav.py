@@ -48,8 +48,8 @@ SHAPES = (
 )
 VARIANTS = (
     ("treeav", ""),
-    ("vecav", "vecav"),
     ("mxuav", "mxuav"),
+    ("mxuearly", "mxuav,avearly"),
     ("noav", "noav"),
 )
 

@@ -243,3 +243,25 @@ def test_av_route_shapes():
     assert av_route("fused", 128, 128) == "fused"
     assert av_route("fused-treeav", 1024, 1024) == "fused-treeav"
     assert av_route(True, 1024, 1024) is True
+
+
+def test_av_fold_vec_spill_path_ragged_rows():
+    """av_fold's vec form spills sub-8-row tails to the scalar slot (band
+    slices whose depth offset is not sublane-aligned). Pin the spill
+    arithmetic against a plain masked sum on ragged tile heights."""
+    from lbm_tpu.ops.collision import av_fold, av_total
+
+    rng = np.random.RandomState(11)
+    want = 0.0
+    acc_vec = None
+    acc_tree = None
+    for h in (8, 13, 3, 24, 7):
+        u_sq = jnp.asarray(rng.rand(h, 128).astype(np.float32))
+        nob = jnp.asarray((rng.rand(h, 128) < 0.9).astype(np.float32))
+        want += float(np.sum(np.asarray(nob) * np.sqrt(np.asarray(u_sq))))
+        acc_vec = av_fold(acc_vec, nob, u_sq, "fused-vecav")
+        acc_tree = av_fold(acc_tree, nob, u_sq, "fused")
+    got_vec = float(av_total(acc_vec))
+    got_tree = float(av_total(acc_tree))
+    assert abs(got_vec - want) / want < 1e-5
+    assert abs(got_tree - want) / want < 1e-5
