@@ -14,9 +14,13 @@ reproduce).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
+import json
 import os
+import signal
+import threading
 import time
 from typing import Callable
 
@@ -128,13 +132,122 @@ def toolchain() -> str:
     it exists so the framework is portable off the relay (VERDICT r3
     item 3) — the analogue of the reference adapting to whatever OpenCL
     device it finds (d2q9-bgk.c:950-1007).
+
+    ``probe``: ROUTE like ``standard``, but treat the first compile of
+    each (device, grid, dtype, backend) combination as a probe — if it
+    fails, fall back to the conservative ``relay`` tables for that run
+    and REMEMBER the failure in an on-disk cache
+    (``$LBM_PROBE_CACHE``, default ``~/.cache/lbm_tpu/probe_cache.json``)
+    so later runs skip the doomed attempt entirely. This is the
+    adaptive middle ground for unknown toolchains; on THIS mount the
+    relay default stays safest (a failed remote compile can poison the
+    relay session — CLAUDE.md), which is why probing is opt-in.
     """
+    if _TOOLCHAIN_OVERRIDE is not None:
+        return _TOOLCHAIN_OVERRIDE
     tc = os.environ.get("LBM_TOOLCHAIN", "relay")
-    if tc not in ("relay", "standard"):
+    if tc not in ("relay", "standard", "probe"):
         raise ValueError(
-            f"LBM_TOOLCHAIN={tc!r}: expected 'relay' or 'standard'"
+            f"LBM_TOOLCHAIN={tc!r}: expected 'relay', 'standard' or 'probe'"
         )
     return tc
+
+
+# Per-call override used by the probe profile's fallback re-entry (and by
+# tests); honored ahead of the env var.
+_TOOLCHAIN_OVERRIDE: str | None = None
+
+
+@contextlib.contextmanager
+def _toolchain_as(profile: str):
+    global _TOOLCHAIN_OVERRIDE
+    prev = _TOOLCHAIN_OVERRIDE
+    _TOOLCHAIN_OVERRIDE = profile
+    try:
+        yield
+    finally:
+        _TOOLCHAIN_OVERRIDE = prev
+
+
+class ProbeCompileError(RuntimeError):
+    """A compile failed while routing under the ``probe`` profile; the
+    run_simulation wrapper catches this, records the failure, and
+    re-resolves under the conservative ``relay`` tables."""
+
+
+def _probe_cache_path() -> str:
+    return os.environ.get(
+        "LBM_PROBE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "lbm_tpu", "probe_cache.json"
+        ),
+    )
+
+
+def _probe_cache_load() -> dict:
+    try:
+        with open(_probe_cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _probe_cache_record(key: str, status: str, error: str = "") -> None:
+    path = _probe_cache_path()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cache = _probe_cache_load()
+    cache[key] = {"status": status, "error": error[:500],
+                  "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _probe_key(params: LBMParams, backend: str, dtype) -> str:
+    """Cache key: the inputs that determine the standard-profile route.
+    Keyed per device kind (a v5e failure says nothing about a v4) and
+    jax version (a toolchain upgrade deserves a re-probe). Pinned LBM_*
+    kernel knobs are deliberately NOT keyed — delete the cache file
+    after changing them."""
+    kind = "unknown"
+    try:
+        kind = jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:  # noqa: BLE001 — cache key only, never fatal
+        pass
+    return (
+        f"{kind}:jax{jax.__version__}:{params.ny}x{params.nx}"
+        f":{jnp.dtype(dtype).name}:{backend}"
+    )
+
+
+def _compile_lowered(lowered):
+    """Compile seam: under the probe profile a failure becomes a
+    ProbeCompileError (and an optional ``LBM_PROBE_TIMEOUT`` alarm guards
+    against hanging compilers, main thread only)."""
+    if toolchain() != "probe":
+        return lowered.compile()
+    timeout = int(os.environ.get("LBM_PROBE_TIMEOUT", "0"))
+    use_alarm = (
+        timeout > 0
+        and threading.current_thread() is threading.main_thread()
+    )
+    if use_alarm:
+        def _fire(*_a):
+            raise TimeoutError(f"compile probe exceeded {timeout}s")
+
+        prev = signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(timeout)
+    try:
+        return lowered.compile()
+    except Exception as e:  # noqa: BLE001 — converted for the fallback
+        raise ProbeCompileError(
+            f"{type(e).__name__}: {str(e)[:300]}"
+        ) from e
+    finally:
+        if use_alarm:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
 
 
 # Auto-dispatch ceiling for the AA kernel on this relay toolchain: the
@@ -195,7 +308,7 @@ def select_aa(params: LBMParams, backend: str, dtype) -> bool | None:
     if not (fits and on_tpu):
         return None
     state_bytes = 9 * params.ny * params.nx * jnp.dtype(dtype).itemsize
-    std = toolchain() == "standard"
+    std = toolchain() in ("standard", "probe")
     if jnp.dtype(dtype) == jnp.dtype(jnp.int16):
         # c16 AA probed on TPU (bench_r3_aac16.json): 1024-wide compiles
         # and runs, but nx >= 1280 fails the relay compile helper exactly
@@ -431,7 +544,7 @@ def select_band2(params: LBMParams, backend: str, dtype) -> bool | None:
     if not fits:
         return None
     on_tpu = jax.devices()[0].platform == "tpu"
-    std = toolchain() == "standard"
+    std = toolchain() in ("standard", "probe")
     if std:
         # Standard toolchain: no per-shape compile validation needed —
         # any resolved f32/c16 schedule is claimable (bf16 stays
@@ -541,7 +654,7 @@ def _band3_auto_claims(params: LBMParams, dtype) -> bool:
     cfg2 = band2_config(params, dtype)
     if cfg2 is not None and cfg2[2] is None:
         return False
-    if toolchain() == "standard":
+    if toolchain() in ("standard", "probe"):
         return True
     return (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
             and (params.ny, params.nx) in _BAND3_AUTO_F32)
@@ -607,7 +720,7 @@ def select_band(params: LBMParams, backend: str, dtype) -> bool | None:
     from lbm_tpu.ops.pallas_band import pick_config, pick_config_panel
     from lbm_tpu.ops.pallas_resident import resident_supported
 
-    std = toolchain() == "standard"
+    std = toolchain() in ("standard", "probe")
     fits = pick_config(params.ny, params.nx, dtype) is not None or (
         (std or params.nx in _BAND_PANEL_AUTO_NX)
         and pick_config_panel(params.ny, params.nx, dtype) is not None
@@ -664,7 +777,7 @@ def select_deep(params: LBMParams, backend: str, dtype) -> bool | None:
         and fits
         and on_tpu
         and _DEEP_MIN_NX <= params.nx
-        and (toolchain() == "standard" or params.nx <= _DEEP_MAX_NX)
+        and (toolchain() in ("standard", "probe") or params.nx <= _DEEP_MAX_NX)
     ):
         return None
     # auto: f32 and c16 claim the whole non-resident (HBM-bound) regime at
@@ -718,7 +831,7 @@ def select_temporal(params: LBMParams, backend: str, dtype) -> bool | None:
             fits
             and on_tpu
             and state_bytes >= _TEMPORAL_BF16_MIN_STATE
-            and (toolchain() == "standard"
+            and (toolchain() in ("standard", "probe")
                  or params.nx <= _TEMPORAL_BF16_MAX_NX)
         ):
             return False
@@ -1057,7 +1170,7 @@ def compute_chunk_sizes(
     return sizes
 
 
-def run_simulation(
+def _run_simulation_impl(
     params: LBMParams,
     obstacles: np.ndarray,
     *,
@@ -1312,7 +1425,10 @@ def run_simulation(
     # the reference timing the loop but not the OpenCL program build
     # (d2q9-bgk.c:155-156).
     t0 = time.perf_counter()
-    compiled = {n: lower_chunk(cells, n).compile() for n in sorted(set(chunk_sizes))}
+    compiled = {
+        n: _compile_lowered(lower_chunk(cells, n))
+        for n in sorted(set(chunk_sizes))
+    }
     compile_time = time.perf_counter() - t0
 
     def as_full(state):
@@ -1377,3 +1493,56 @@ def run_simulation(
         elapsed=elapsed,
         compile_time=compile_time,
     )
+
+
+def run_simulation(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    *,
+    backend: str = "auto",
+    dtype=jnp.float32,
+    initial_cells: np.ndarray | None = None,
+    start_step: int = 0,
+    av_vels_prefix: np.ndarray | None = None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_format: str = "npz",
+    chunk_every: int = 0,
+    on_chunk=None,
+    device=None,
+    fetch_final: bool = True,
+) -> SimulationResult:
+    """Public entry: ``_run_simulation_impl`` plus the ``probe``
+    toolchain profile's compile-or-fall-back protocol (see
+    ``toolchain``). Under ``LBM_TOOLCHAIN=probe`` the run routes like
+    ``standard``; a compile failure is recorded in the on-disk probe
+    cache and the run transparently re-resolves under the conservative
+    ``relay`` tables — known-bad combinations skip the doomed attempt
+    on later runs. The other profiles pass straight through."""
+    kw = dict(
+        backend=backend, dtype=dtype, initial_cells=initial_cells,
+        start_step=start_step, av_vels_prefix=av_vels_prefix,
+        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+        checkpoint_format=checkpoint_format, chunk_every=chunk_every,
+        on_chunk=on_chunk, device=device, fetch_final=fetch_final,
+    )
+    if toolchain() != "probe":
+        return _run_simulation_impl(params, obstacles, **kw)
+    key_dtype = jnp.int16 if isinstance(dtype, str) and dtype == "c16" else dtype
+    key = _probe_key(params, backend, key_dtype)
+    if _probe_cache_load().get(key, {}).get("status") == "fail":
+        with _toolchain_as("relay"):
+            return _run_simulation_impl(params, obstacles, **kw)
+    try:
+        result = _run_simulation_impl(params, obstacles, **kw)
+    except ProbeCompileError as e:
+        _probe_cache_record(key, "fail", str(e))
+        print(
+            f"lbm_tpu: probe compile failed for {key} ({e}); "
+            "falling back to the relay-profile route (cached)",
+            flush=True,
+        )
+        with _toolchain_as("relay"):
+            return _run_simulation_impl(params, obstacles, **kw)
+    _probe_cache_record(key, "ok")
+    return result
