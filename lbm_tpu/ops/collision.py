@@ -102,13 +102,22 @@ def paired_default():
 _AV_MXU_AA_SHAPES = {(1024, 1024), (1280, 1280), (1408, 1408)}
 
 
-def av_route(paired, ny, nx):
+def av_route(paired, ny, nx, storage="float32"):
     """Upgrade the plain default ``"fused"`` to the MXU av-reduction on
     the AA shapes where it measured a win (table above). Explicit
     ``LBM_COLLIDE`` suffixes (``fused-treeav`` etc.) are left alone, so
     a pinned form always wins. Callers: the driver's AA dispatch only —
-    the band/temporal/deep kernels measured no robust win."""
-    if paired == "fused" and (ny, nx) in _AV_MXU_AA_SHAPES:
+    the band/temporal/deep kernels measured no robust win.
+
+    ``storage`` is the AA kernel's STORAGE dtype name: only f32-storage
+    kernels were compile-probed with the embedded dot_general — 16-bit
+    AA builds are already compile-fragile on the relay (CLAUDE.md width
+    failures), so bf16/c16 storage keeps the tree form until probed."""
+    if (
+        paired == "fused"
+        and storage == "float32"
+        and (ny, nx) in _AV_MXU_AA_SHAPES
+    ):
         return "fused-mxuav"
     return paired
 

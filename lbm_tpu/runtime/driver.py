@@ -15,6 +15,7 @@ reproduce).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import dataclasses
 import functools
 import json
@@ -143,8 +144,9 @@ def toolchain() -> str:
     relay default stays safest (a failed remote compile can poison the
     relay session — CLAUDE.md), which is why probing is opt-in.
     """
-    if _TOOLCHAIN_OVERRIDE is not None:
-        return _TOOLCHAIN_OVERRIDE
+    override = _TOOLCHAIN_OVERRIDE.get()
+    if override is not None:
+        return override
     tc = os.environ.get("LBM_TOOLCHAIN", "relay")
     if tc not in ("relay", "standard", "probe"):
         raise ValueError(
@@ -154,19 +156,20 @@ def toolchain() -> str:
 
 
 # Per-call override used by the probe profile's fallback re-entry (and by
-# tests); honored ahead of the env var.
-_TOOLCHAIN_OVERRIDE: str | None = None
+# tests); honored ahead of the env var. A ContextVar so a fallback in one
+# thread never leaks into concurrent run_simulation calls in others.
+_TOOLCHAIN_OVERRIDE: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "lbm_toolchain_override", default=None
+)
 
 
 @contextlib.contextmanager
 def _toolchain_as(profile: str):
-    global _TOOLCHAIN_OVERRIDE
-    prev = _TOOLCHAIN_OVERRIDE
-    _TOOLCHAIN_OVERRIDE = profile
+    token = _TOOLCHAIN_OVERRIDE.set(profile)
     try:
         yield
     finally:
-        _TOOLCHAIN_OVERRIDE = prev
+        _TOOLCHAIN_OVERRIDE.reset(token)
 
 
 class ProbeCompileError(RuntimeError):
@@ -195,13 +198,23 @@ def _probe_cache_load() -> dict:
 def _probe_cache_record(key: str, status: str, error: str = "") -> None:
     path = _probe_cache_path()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    cache = _probe_cache_load()
-    cache[key] = {"status": status, "error": error[:500],
-                  "time": time.strftime("%Y-%m-%d %H:%M:%S")}
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(cache, f, indent=1)
-    os.replace(tmp, path)
+    # flock serializes the read-merge-replace against concurrent
+    # probe-profile processes sharing the cache (the write itself is
+    # atomic via tmp+rename; the lock protects the merge).
+    with open(f"{path}.lock", "w") as lock:
+        try:
+            import fcntl
+
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass  # non-POSIX: atomic replace still holds, merges may race
+        cache = _probe_cache_load()
+        cache[key] = {"status": status, "error": error[:500],
+                      "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, path)
 
 
 def _probe_key(params: LBMParams, backend: str, dtype) -> str:
@@ -223,21 +236,30 @@ def _probe_key(params: LBMParams, backend: str, dtype) -> str:
 
 def _compile_lowered(lowered):
     """Compile seam: under the probe profile a failure becomes a
-    ProbeCompileError (and an optional ``LBM_PROBE_TIMEOUT`` alarm guards
-    against hanging compilers, main thread only)."""
+    ProbeCompileError. ``LBM_PROBE_TIMEOUT`` (default 900 s; 0 disables)
+    alarm-guards hanging compilers — the documented relay failure mode is
+    compiles that hang >30 min, and without a timeout the advertised
+    fall-back protocol would never trigger on them. Main thread only; a
+    pre-existing pending alarm (e.g. ab_session's per-run watchdog) is
+    re-armed with its remaining time on exit instead of being cancelled."""
     if toolchain() != "probe":
         return lowered.compile()
-    timeout = int(os.environ.get("LBM_PROBE_TIMEOUT", "0"))
+    timeout = int(os.environ.get("LBM_PROBE_TIMEOUT", "900"))
     use_alarm = (
         timeout > 0
         and threading.current_thread() is threading.main_thread()
     )
+    prev_remaining = 0
+    t0 = time.monotonic()
     if use_alarm:
         def _fire(*_a):
             raise TimeoutError(f"compile probe exceeded {timeout}s")
 
-        prev = signal.signal(signal.SIGALRM, _fire)
-        signal.alarm(timeout)
+        prev_handler = signal.signal(signal.SIGALRM, _fire)
+        prev_remaining = signal.alarm(timeout)
+        if 0 < prev_remaining <= timeout:
+            # The outer watchdog would have fired first: honor it.
+            signal.alarm(prev_remaining)
     try:
         return lowered.compile()
     except Exception as e:  # noqa: BLE001 — converted for the fallback
@@ -247,7 +269,10 @@ def _compile_lowered(lowered):
     finally:
         if use_alarm:
             signal.alarm(0)
-            signal.signal(signal.SIGALRM, prev)
+            signal.signal(signal.SIGALRM, prev_handler)
+            if prev_remaining > 0:
+                left = prev_remaining - int(time.monotonic() - t0)
+                signal.alarm(max(1, left))
 
 
 # Auto-dispatch ceiling for the AA kernel on this relay toolchain: the
@@ -1293,10 +1318,15 @@ def _run_simulation_impl(
                 if dtype in (jnp.float32, jnp.bfloat16, jnp.int16)
                 else jnp.float32
             )
-            # MXU av-reduction on the measured-win AA shapes (+6.4% at
-            # 1024²); the fused tile clamp keys on the PREFIX — every
-            # fused-* suffix shares the fused form's live-plane count.
-            aa_paired = av_route(paired, params.ny, params.nx)
+            # MXU av-reduction on the measured-win AA shapes (+4.9% at
+            # 1024²), f32 storage only (16-bit AA builds are
+            # compile-fragile on the relay and were never probed with the
+            # embedded dot); the fused tile clamp keys on the PREFIX —
+            # every fused-* suffix shares the fused form's live-plane
+            # count.
+            aa_paired = av_route(
+                paired, params.ny, params.nx, jnp.dtype(a_dtype).name
+            )
             return _run_aa.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=aa_interpret,
@@ -1519,13 +1549,9 @@ def run_simulation(
     cache and the run transparently re-resolves under the conservative
     ``relay`` tables — known-bad combinations skip the doomed attempt
     on later runs. The other profiles pass straight through."""
-    kw = dict(
-        backend=backend, dtype=dtype, initial_cells=initial_cells,
-        start_step=start_step, av_vels_prefix=av_vels_prefix,
-        checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
-        checkpoint_format=checkpoint_format, chunk_every=chunk_every,
-        on_chunk=on_chunk, device=device, fetch_final=fetch_final,
-    )
+    # One source of truth for the pass-through: every kw-only parameter of
+    # this wrapper (captured before any other local is bound).
+    kw = {k: v for k, v in locals().items() if k not in ("params", "obstacles")}
     if toolchain() != "probe":
         return _run_simulation_impl(params, obstacles, **kw)
     key_dtype = jnp.int16 if isinstance(dtype, str) and dtype == "c16" else dtype
@@ -1536,10 +1562,16 @@ def run_simulation(
     try:
         result = _run_simulation_impl(params, obstacles, **kw)
     except ProbeCompileError as e:
-        _probe_cache_record(key, "fail", str(e))
+        # Transient infrastructure errors (backend down mid-compile) are
+        # NOT cached as permanent toolchain verdicts — only this run
+        # falls back; the next one re-probes.
+        transient = "UNAVAILABLE" in str(e)
+        if not transient:
+            _probe_cache_record(key, "fail", str(e))
         print(
             f"lbm_tpu: probe compile failed for {key} ({e}); "
-            "falling back to the relay-profile route (cached)",
+            "falling back to the relay-profile route"
+            + (" (transient, not cached)" if transient else " (cached)"),
             flush=True,
         )
         with _toolchain_as("relay"):

@@ -1,23 +1,28 @@
 #!/usr/bin/env python
 """A/B the AA |u|-reduction STRUCTURES on TPU (follow-up to probe_aa_small).
 
-bench_r4_fastav.json attributed the reduction's cost: sqrt 2.36 us/step
-(5.7% at 1024^2, and the rsqrt rewrite is a bit-identical no-op), the
-mask-mul + per-tile jnp.sum tree 4.29 us (10.3% — ~4x the ideal
-1 add/cell). This probe times the structural fix, interleaved in ONE
-process:
+History: bench_r4_fastav.json (rsqrt == sqrt, a bit-identical no-op),
+bench_r4_vecav.json (hand-vectorized partials LOSE to the tree),
+bench_r4_mxuav.json (the MXU ones-row matmul WINS at 1024^2),
+bench_r4_avearly.json (trace-order reordering is a wash). Current
+variant list (edit VARIANTS per question; probe tokens are parsed by
+pallas_aa._aa_kernel):
 
-    vecav    (8, nx) vector-partial accumulation per row-group + ONE
-             small scalar tree per step (the new default, probe "")
-    treeav   per-tile (tile, nx)->scalar jnp.sum (the old structure)
-    rawav    vecav form with u_sq in place of sqrt(u_sq) (sqrt floor;
-             series is wrong)
-    noav     reduction skipped entirely
+    treeav   per-tile (tile, nx)->scalar jnp.sum (the shipped default,
+             probe "")
+    mxuav    ones(1, rows) @ (nob*u) on the idle MXU (the auto route at
+             the validated f32 shapes)
+    mxuearly mxuav folded before the plane writes (scheduling probe)
+    noav     reduction skipped entirely (floor; series is wrong)
 
 at 1024^2 (flagship) and 128^2; iters chunk-aligned (254) so each
 variant is one kernel build.
 
     python scripts/probe_fastav.py OUT.json [--brackets 3]
+
+OUT.json is REQUIRED to be a fresh name in practice: the committed
+bench_r4_*.json artifacts above are provenance for docstrings/docs —
+never overwrite them.
 """
 
 from __future__ import annotations
@@ -55,7 +60,7 @@ VARIANTS = (
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r4_fastav.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_probe_av.json"
     brackets = 3
     if "--brackets" in sys.argv:
         brackets = int(sys.argv[sys.argv.index("--brackets") + 1])
@@ -135,15 +140,22 @@ def main():
             finals[tag] = val
             log(f"{tag}: compiled+warm in {time.time()-t0:.0f}s, tot_u[-1]={val:.6g}")
             todo.append((tag, cells, nobst, iters, probe, ny, nx))
-    # alternative-structure accuracy on the REAL series value (same
-    # physics, different f32 summation order — expect ~1e-7..1e-5 rel).
+    # alternative-structure accuracy on the REAL series value vs the
+    # default arm (same physics, different f32 summation order — expect
+    # ~1e-7..1e-5 rel). Compares every non-floor variant against the
+    # first variant in VARIANTS.
+    base_tag = VARIANTS[0][0]
     for stag in cases:
-        b = finals.get(f"{stag}_treeav")
-        for v in ("vecav", "mxuav"):
-            a = finals.get(f"{stag}_{v}")
-            if a and b:
-                results["accuracy"][f"{stag}_{v}"] = {
-                    v: a, "treeav": b,
+        b = finals.get(f"{stag}_{base_tag}")
+        if b is None:
+            continue
+        for vtag, _ in VARIANTS[1:]:
+            if vtag == "noav":
+                continue
+            a = finals.get(f"{stag}_{vtag}")
+            if a is not None and b != 0:
+                results["accuracy"][f"{stag}_{vtag}"] = {
+                    vtag: a, base_tag: b,
                     "rel_diff": abs(a - b) / abs(b),
                 }
     dump()

@@ -265,3 +265,13 @@ def test_av_fold_vec_spill_path_ragged_rows():
     got_tree = float(av_total(acc_tree))
     assert abs(got_vec - want) / want < 1e-5
     assert abs(got_tree - want) / want < 1e-5
+
+
+def test_av_route_is_f32_storage_only():
+    """16-bit AA builds are compile-fragile on the relay and were never
+    probed with the embedded dot — the MXU upgrade must not reach them."""
+    from lbm_tpu.ops.collision import av_route
+
+    assert av_route("fused", 1024, 1024, "bfloat16") == "fused"
+    assert av_route("fused", 1024, 1024, "int16") == "fused"
+    assert av_route("fused", 1024, 1024, "float32") == "fused-mxuav"
