@@ -64,8 +64,28 @@ def band2_supported(ny: int, nx: int, block: int, depth: int,
     )
 
 
-def _pick_tile_w(W: int, nx: int) -> int:
-    """Rows per step-tile: keep ~15 live tile-planes within ~12 MB."""
+def _tilew_env() -> str | None:
+    """The LBM_BAND2_TILEW override, read by the step wrappers OUTSIDE the
+    lru-cached builders so a changed env value is a new cache key (the
+    same env-knob-outside-the-trace rule as every other LBM_* knob)."""
+    import os
+
+    return os.environ.get("LBM_BAND2_TILEW") or None
+
+
+def _pick_tile_w(W: int, nx: int, override: str | None = None) -> int:
+    """Rows per step-tile: keep ~15 live tile-planes within ~12 MB.
+    ``override`` (from ``LBM_BAND2_TILEW``, via ``_tilew_env``) pins the
+    height for scheduling sweeps (must divide the buffer height W and be
+    a multiple of 8)."""
+    if override:
+        t = int(override)
+        if t < 8 or t % 8 or W % t:
+            raise ValueError(
+                f"LBM_BAND2_TILEW={override}: tile must be a multiple of 8 "
+                f"that divides the buffer height W={W}"
+            )
+        return t
     max_rows = max(8, (12 * 1024 * 1024) // (15 * nx * 4) // 8 * 8)
     t = min(W, max_rows)
     while W % t:
@@ -199,7 +219,7 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-                paired=True, dev=None):
+                paired=True, dev=None, tilew=None):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -208,7 +228,7 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     nstrip = ny // T
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
-    tile_w = _pick_tile_w(W, nx)
+    tile_w = _pick_tile_w(W, nx, tilew)
     kern = functools.partial(
         _kernel2, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
@@ -411,7 +431,8 @@ def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call2_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
-                      interpret, dtype_name, paired=True, dev=None):
+                      interpret, dtype_name, paired=True, dev=None,
+                      tilew=None):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     npan = nx // panel
@@ -424,7 +445,7 @@ def _make_call2_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     nstripx = nx // H
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
-    tile_w = _pick_tile_w(W, WX)
+    tile_w = _pick_tile_w(W, WX, tilew)
     kern = functools.partial(
         _kernel2_panel, block=block, nblk=nblk, depth=T, panel=P, halo=H,
         tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
@@ -516,7 +537,7 @@ def step_band2_panel(cells, nob_ext_arr, owner, density, accel, omega,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev,
+        dev=dev, tilew=_tilew_env(),
     )
     out, sums = call(*([cells] * 9), nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, :, s]) for s in range(depth))
@@ -655,14 +676,15 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
-                        interpret, dtype_name, paired=True, dev=None):
+                        interpret, dtype_name, paired=True, dev=None,
+                        tilew=None):
     dtype = jnp.dtype(dtype_name)
     nblk = rows // block
     T = depth
     W = block + 2 * T
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
-    tile_w = _pick_tile_w(W, nx)
+    tile_w = _pick_tile_w(W, nx, tilew)
     kern = functools.partial(
         _kernel2_sharded, block=block, depth=T, ny=ny_global, nx=nx,
         tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
@@ -724,7 +746,7 @@ def step_band2_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev,
+        dev=dev, tilew=_tilew_env(),
     )
     out, sums = call(cells, n_compact, s_compact, nob_ext_arr, r0)
     return out, jnp.sum(sums, axis=0)  # (T,) per-step local partials
@@ -875,7 +897,7 @@ def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
 @functools.lru_cache(maxsize=None)
 def _make_call2_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
                               w1a, w2a, omega, interpret, dtype_name,
-                              paired=True, dev=None):
+                              paired=True, dev=None, tilew=None):
     dtype = jnp.dtype(dtype_name)
     nblk = rows // block
     npan = nx // panel
@@ -886,7 +908,7 @@ def _make_call2_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
     sph = panel // H
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
-    tile_w = _pick_tile_w(W, WX)
+    tile_w = _pick_tile_w(W, WX, tilew)
     kern = functools.partial(
         _kernel2_sharded_panel, block=block, depth=T, panel=P, halo=H,
         ny=ny_global, tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega,
@@ -970,7 +992,7 @@ def step_band2_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev,
+        dev=dev, tilew=_tilew_env(),
     )
     out, sums = call(cells, n_compact, s_compact, cells, cells,
                      n_compact, n_compact, s_compact, s_compact,
@@ -990,7 +1012,7 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev,
+        dev=dev, tilew=_tilew_env(),
     )
     out, sums = call(cells, cells, cells, nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))

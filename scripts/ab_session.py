@@ -63,6 +63,7 @@ _ENV_KEYS = (
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
     "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
     "LBM_BAND3_DEPTH", "LBM_BAND3_BLOCK", "LBM_BAND3_PANEL",
+    "LBM_BAND2_TILEW",
     "LBM_SLAB_K", "LBM_SLAB_S",
 )
 
@@ -92,7 +93,7 @@ def parse_spec(spec: str) -> dict:
     out["backend"] = kv.get("backend", "auto")
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
-    for k in ("depth", "block", "tile", "chunk", "panel", "rowforce",
+    for k in ("depth", "block", "tile", "tilew", "chunk", "panel", "rowforce",
               "unroll", "slabk", "slabs"):
         if k in kv:
             out[k] = int(kv[k])
@@ -127,6 +128,8 @@ def variant_env(v: dict) -> dict:
         env[knob] = str(v["block"])
     if "tile" in v:
         env["LBM_AA_TILE"] = str(v["tile"])
+    if "tilew" in v:
+        env["LBM_BAND2_TILEW"] = str(v["tilew"])
     if "chunk" in v:
         env["LBM_AA_CHUNK"] = str(v["chunk"])
     if "panel" in v:

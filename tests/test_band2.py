@@ -65,6 +65,26 @@ def test_band2_bf16_storage_runs():
     np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=5e-2)
 
 
+def test_band2_tilew_override(monkeypatch):
+    """LBM_BAND2_TILEW pins the step-tile height for scheduling sweeps:
+    the state is bit-identical to the default pick (only the av-reduction
+    tile boundaries move — summation-order low bits), and a height that
+    does not divide the buffer W raises loudly."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=8)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    args = (jnp.asarray(state), nobst, params.density, params.accel,
+            params.omega, 8, 32, 8)
+    cells0, tot0 = run_band2(*args, interpret=True)
+    monkeypatch.setenv("LBM_BAND2_TILEW", "24")  # divides W = 32 + 16
+    cells1, tot1 = run_band2(*args, interpret=True)
+    assert np.array_equal(np.asarray(cells0), np.asarray(cells1))
+    np.testing.assert_allclose(np.asarray(tot0), np.asarray(tot1), rtol=1e-5)
+    monkeypatch.setenv("LBM_BAND2_TILEW", "20")  # 20 % 8 != 0
+    with pytest.raises(ValueError, match="LBM_BAND2_TILEW"):
+        run_band2(*args, interpret=True)
+
+
 def test_band2_supported():
     assert band2_supported(64, 128, 16, 8)
     assert not band2_supported(64, 128, 8, 8)     # block < 2T
