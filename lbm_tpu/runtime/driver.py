@@ -234,6 +234,59 @@ def _probe_key(params: LBMParams, backend: str, dtype) -> str:
     )
 
 
+def _probe_timeout() -> int:
+    return int(os.environ.get("LBM_PROBE_TIMEOUT", "900"))
+
+
+def _probe_compile_subprocess(
+    params: LBMParams, backend: str, dtype, *, start_step: int = 0,
+    checkpoint_every: int = 0, chunk_every: int = 0,
+) -> tuple[str, str]:
+    """Probe-compile the standard-profile route in a CHILD process.
+
+    Returns ``(verdict, error)`` with verdict ``"ok"`` / ``"fail"`` /
+    ``"hang"``. The child (``runtime/probe_worker.py``) re-lowers the
+    same compile surface, compiles it, and exits; a wall timeout
+    (``LBM_PROBE_TIMEOUT``, default 900 s) kills it. Interrupting a hung
+    compile IN-PROCESS is the documented relay session-poison mechanism
+    (an alarm fired mid-compile breaks the same process's later
+    compiles — CLAUDE.md round-4 nuance), so the risky compile never
+    happens in this process at all: a killed child poisons only the
+    child's session, and the parent's fallback compile runs clean
+    (VERDICT r4 item 3). The price is one extra compile of known-good
+    routes the first time each combination is seen; the on-disk cache
+    makes that once-per-(device, grid, dtype, backend)-ever."""
+    import subprocess
+    import sys as _sys
+
+    spec = {
+        "params": dataclasses.asdict(params),
+        "backend": backend,
+        "dtype": "c16" if (isinstance(dtype, str) and dtype == "c16")
+        else jnp.dtype(dtype).name,
+        "start_step": start_step,
+        "checkpoint_every": checkpoint_every,
+        "chunk_every": chunk_every,
+        "platform": jax.devices()[0].platform,
+    }
+    cmd = [_sys.executable, "-m", "lbm_tpu.runtime.probe_worker",
+           json.dumps(spec)]
+    timeout = _probe_timeout()
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=timeout if timeout > 0 else None,
+        )
+    except subprocess.TimeoutExpired:
+        return "hang", f"probe compile exceeded {timeout}s (child killed)"
+    except OSError as e:  # e.g. fork/exec failure — not a toolchain verdict
+        return "fail", f"UNAVAILABLE: probe worker could not start ({e})"
+    if proc.returncode == 0 and "PROBE_COMPILE_OK" in proc.stdout:
+        return "ok", ""
+    err = (proc.stderr or proc.stdout or "").strip()
+    return "fail", err[-500:]
+
+
 def _compile_lowered(lowered):
     """Compile seam: under the probe profile a failure becomes a
     ProbeCompileError. ``LBM_PROBE_TIMEOUT`` (default 900 s; 0 disables)
@@ -241,7 +294,13 @@ def _compile_lowered(lowered):
     compiles that hang >30 min, and without a timeout the advertised
     fall-back protocol would never trigger on them. Main thread only; a
     pre-existing pending alarm (e.g. ab_session's per-run watchdog) is
-    re-armed with its remaining time on exit instead of being cancelled."""
+    re-armed with its remaining time on exit instead of being cancelled.
+
+    LEGACY PATH: reached only under ``LBM_PROBE_ISOLATE=0``. The default
+    probe protocol compiles the probe in a subprocess instead
+    (``_probe_compile_subprocess``) because a SIGALRM fired mid-compile
+    is itself the documented relay session-poison mechanism — the
+    in-process fallback would then run on a poisoned session."""
     if toolchain() != "probe":
         return lowered.compile()
     timeout = int(os.environ.get("LBM_PROBE_TIMEOUT", "900"))
@@ -1211,6 +1270,7 @@ def _run_simulation_impl(
     on_chunk=None,
     device=None,
     fetch_final: bool = True,
+    _compile_only: bool = False,
 ) -> SimulationResult:
     """Run steps ``start_step .. params.max_iters`` and return the result.
 
@@ -1460,6 +1520,10 @@ def _run_simulation_impl(
         for n in sorted(set(chunk_sizes))
     }
     compile_time = time.perf_counter() - t0
+    if _compile_only:
+        # Probe-worker mode (runtime/probe_worker.py): the verdict is
+        # compile-or-not; nothing is executed and nothing is returned.
+        return None
 
     def as_full(state):
         """Observer view of the state: c16 storage decodes to f32."""
@@ -1548,7 +1612,15 @@ def run_simulation(
     ``standard``; a compile failure is recorded in the on-disk probe
     cache and the run transparently re-resolves under the conservative
     ``relay`` tables — known-bad combinations skip the doomed attempt
-    on later runs. The other profiles pass straight through."""
+    on later runs. The other profiles pass straight through.
+
+    The probe compile itself runs in a SUBPROCESS by default
+    (``_probe_compile_subprocess``): hung compiles are killed in the
+    child and cached as a distinct ``"hang"`` verdict, and this
+    process's backend session is never touched by a risky compile —
+    interrupting one in-process is the documented relay session-poison
+    mechanism. ``LBM_PROBE_ISOLATE=0`` restores the legacy in-process
+    protocol (SIGALRM-guarded ``_compile_lowered``)."""
     # One source of truth for the pass-through: every kw-only parameter of
     # this wrapper (captured before any other local is bound).
     kw = {k: v for k, v in locals().items() if k not in ("params", "obstacles")}
@@ -1556,15 +1628,40 @@ def run_simulation(
         return _run_simulation_impl(params, obstacles, **kw)
     key_dtype = jnp.int16 if isinstance(dtype, str) and dtype == "c16" else dtype
     key = _probe_key(params, backend, key_dtype)
-    if _probe_cache_load().get(key, {}).get("status") == "fail":
+    cached = _probe_cache_load().get(key, {}).get("status")
+    if cached in ("fail", "hang"):
         with _toolchain_as("relay"):
+            return _run_simulation_impl(params, obstacles, **kw)
+    if os.environ.get("LBM_PROBE_ISOLATE", "1") != "0":
+        if cached != "ok":
+            verdict, err = _probe_compile_subprocess(
+                params, backend, dtype, start_step=start_step,
+                checkpoint_every=checkpoint_every, chunk_every=chunk_every,
+            )
+            if verdict != "ok":
+                # Transient infrastructure errors (backend down
+                # mid-compile) are NOT cached as permanent toolchain
+                # verdicts — only this run falls back; the next re-probes.
+                transient = "UNAVAILABLE" in err
+                if not transient:
+                    _probe_cache_record(key, verdict, err)
+                print(
+                    f"lbm_tpu: probe compile {verdict} for {key}; "
+                    "falling back to the relay-profile route"
+                    + (" (transient, not cached)" if transient
+                       else " (cached)"),
+                    flush=True,
+                )
+                with _toolchain_as("relay"):
+                    return _run_simulation_impl(params, obstacles, **kw)
+            _probe_cache_record(key, "ok")
+        # Known-good: compile + run the standard route in THIS process
+        # with no probe seam armed.
+        with _toolchain_as("standard"):
             return _run_simulation_impl(params, obstacles, **kw)
     try:
         result = _run_simulation_impl(params, obstacles, **kw)
     except ProbeCompileError as e:
-        # Transient infrastructure errors (backend down mid-compile) are
-        # NOT cached as permanent toolchain verdicts — only this run
-        # falls back; the next one re-probes.
         transient = "UNAVAILABLE" in str(e)
         if not transient:
             _probe_cache_record(key, "fail", str(e))

@@ -314,8 +314,20 @@ def test_band3_config_prefers_lower_total_redundancy():
 
 @pytest.fixture
 def probe_env(monkeypatch, tmp_path):
+    """Legacy IN-PROCESS probe protocol (LBM_PROBE_ISOLATE=0): the
+    monkeypatched ``_compile_lowered`` seam only exists in-process."""
     monkeypatch.setenv("LBM_TOOLCHAIN", "probe")
     monkeypatch.setenv("LBM_PROBE_CACHE", str(tmp_path / "probe.json"))
+    monkeypatch.setenv("LBM_PROBE_ISOLATE", "0")
+    return tmp_path / "probe.json"
+
+
+@pytest.fixture
+def probe_iso_env(monkeypatch, tmp_path):
+    """Default subprocess-isolated probe protocol (VERDICT r4 item 3)."""
+    monkeypatch.setenv("LBM_TOOLCHAIN", "probe")
+    monkeypatch.setenv("LBM_PROBE_CACHE", str(tmp_path / "probe.json"))
+    monkeypatch.delenv("LBM_PROBE_ISOLATE", raising=False)
     return tmp_path / "probe.json"
 
 
@@ -377,6 +389,105 @@ def test_probe_compile_success_records_ok(probe_env):
     cache = json.loads(probe_env.read_text())
     (key, entry), = cache.items()
     assert entry["status"] == "ok"
+
+
+def test_probe_isolated_hang_cached_distinctly(probe_iso_env, monkeypatch):
+    """A HUNG probe compile (child killed on wall timeout) is cached as
+    its own ``"hang"`` verdict, the run falls back to the relay route in
+    the SAME process cleanly, and later runs skip the probe entirely —
+    the scenario the in-process SIGALRM guard could not survive (an
+    alarm mid-compile poisons the session the fallback then runs on)."""
+    import json
+
+    import numpy as np
+
+    params, obstacles = _tiny_setup()
+    calls = {"probes": 0}
+
+    def fake_probe(params, backend, dtype, **kw):
+        calls["probes"] += 1
+        return "hang", "probe compile exceeded 900s (child killed)"
+
+    monkeypatch.setattr(driver, "_probe_compile_subprocess", fake_probe)
+    r1 = driver.run_simulation(params, obstacles, backend="reference")
+    assert r1.av_vels.shape == (3,)
+    assert calls["probes"] == 1
+    cache = json.loads(probe_iso_env.read_text())
+    (key, entry), = cache.items()
+    assert entry["status"] == "hang"
+    assert "child killed" in entry["error"]
+    # run 2: known-hang -> straight to relay, no second probe subprocess
+    r2 = driver.run_simulation(params, obstacles, backend="reference")
+    assert calls["probes"] == 1
+    np.testing.assert_allclose(r2.av_vels, r1.av_vels, rtol=0, atol=0)
+
+
+def test_probe_isolated_fail_falls_back_and_caches(probe_iso_env, monkeypatch):
+    import json
+
+    params, obstacles = _tiny_setup()
+    monkeypatch.setattr(
+        driver, "_probe_compile_subprocess",
+        lambda *a, **k: ("fail", "Mosaic: simulated failure"),
+    )
+    r = driver.run_simulation(params, obstacles, backend="reference")
+    assert r.av_vels.shape == (3,)
+    cache = json.loads(probe_iso_env.read_text())
+    (_, entry), = cache.items()
+    assert entry["status"] == "fail"
+
+
+def test_probe_isolated_transient_not_cached(probe_iso_env, monkeypatch):
+    """Backend-down failures are per-run: nothing is cached, the next
+    run re-probes."""
+    params, obstacles = _tiny_setup()
+    monkeypatch.setattr(
+        driver, "_probe_compile_subprocess",
+        lambda *a, **k: ("fail", "UNAVAILABLE: TPU backend setup error"),
+    )
+    r = driver.run_simulation(params, obstacles, backend="reference")
+    assert r.av_vels.shape == (3,)
+    assert not probe_iso_env.exists()
+
+
+def test_probe_isolated_ok_skips_reprobe(probe_iso_env, monkeypatch):
+    """After an ``"ok"`` verdict, later runs compile the standard route
+    directly — no probe subprocess, no probe seam."""
+    import json
+
+    params, obstacles = _tiny_setup()
+    calls = {"probes": 0}
+
+    def fake_probe(params, backend, dtype, **kw):
+        calls["probes"] += 1
+        return "ok", ""
+
+    monkeypatch.setattr(driver, "_probe_compile_subprocess", fake_probe)
+    r1 = driver.run_simulation(params, obstacles, backend="reference")
+    assert r1.av_vels.shape == (3,)
+    assert calls["probes"] == 1
+    cache = json.loads(probe_iso_env.read_text())
+    (_, entry), = cache.items()
+    assert entry["status"] == "ok"
+    driver.run_simulation(params, obstacles, backend="reference")
+    assert calls["probes"] == 1  # cached ok -> no re-probe
+
+
+def test_probe_worker_real_subprocess(probe_iso_env):
+    """Full round-trip through the REAL child process: the worker
+    re-lowers the tiny run's compile surface on the parent's (cpu)
+    platform, compiles it, and reports ok; the parent records the
+    verdict and runs. One subprocess jax import (~seconds) — the price
+    of certifying the actual protocol, not a monkeypatched stand-in."""
+    import json
+
+    params, obstacles = _tiny_setup()
+    r = driver.run_simulation(params, obstacles, backend="reference")
+    assert r.av_vels.shape == (3,)
+    cache = json.loads(probe_iso_env.read_text())
+    (key, entry), = cache.items()
+    assert entry["status"] == "ok"
+    assert "64x128" in key
 
 
 def test_probe_cache_key_separates_shapes_and_dtypes():
