@@ -286,9 +286,11 @@ def _moments_fused(t):
     return rho, u_x, u_y, u_sq
 
 
-def _bgk_fused(t, omega):
-    """The ``fused`` collision form (see module docstring, item list)."""
-    rho, u_x, u_y, u_sq = _moments_fused(t)
+def _finish_fused(t, rho, u_x, u_y, omega):
+    """The fused form's relax stage given the moments — shared by the
+    VPU moment path (``_bgk_fused``) and the MXU moment-offload probe
+    (``bgk_relax_mxumom``)."""
+    u_sq = u_x * u_x + u_y * u_y
     beta = 1.0 - omega  # trace-time python float, as are the omega*w below
     common = 1.0 - u_sq * (0.5 / C_SQ)
     wr0 = (omega * W0) * rho
@@ -307,6 +309,110 @@ def _bgk_fused(t, omega):
         relaxed[k] = beta * t[k] + (q + d)
         relaxed[kb] = beta * t[kb] + (q - d)
     return tuple(relaxed), u_sq
+
+
+def _bgk_fused(t, omega):
+    """The ``fused`` collision form (see module docstring, item list)."""
+    rho, u_x, u_y, _ = _moments_fused(t)
+    return _finish_fused(t, rho, u_x, u_y, omega)
+
+
+# Moment-contraction matrix for the MXU offload: rows = (rho, rho u_x,
+# rho u_y) numerators, columns = the 9 planes (direction table
+# kernels.cl:117-131). The contraction dim is 9 — tiny for the 128x128
+# systolic array, but the array is otherwise idle in D2Q9 (no matmuls),
+# so the only real question is whether the dot's issue+latency beats the
+# ~10 VPU adds it replaces (the av_fold analogue won +4.9% at 1024² AA).
+_MOM_ROWS = (
+    (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+    _FCX,
+    _FCY,
+)
+
+
+def bgk_relax_mxumom(t, omega):
+    """Fused collide with the (3, 9) x (9, h, nx) moment contraction on
+    the MXU (``dot_general``, HIGHEST). Costs one ``jnp.stack`` of the 9
+    pulled planes (a real VMEM copy) against ~10 VPU adds saved — a
+    probe variant (pallas_band2 ``probe="mxumom"``) until measured.
+
+    At-rest exactness note: the velocity numerators come out of the
+    matmul instead of the hand-grouped sums, so the literal-zero
+    cancellation invariant (``_moments_fused`` docstring) holds only if
+    the MXU's 6-pass bf16 split cancels equal opposite terms exactly —
+    gate-check before any promotion."""
+    import jax
+    import jax.numpy as jnp
+
+    # Built from iota + selects instead of a literal array: a Pallas
+    # kernel body may not capture trace-time constants, and the 19
+    # selects fold away at compile time (3x9 scalars).
+    kk = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    mat = jnp.zeros((3, 9), jnp.float32)
+    for r, row in enumerate(_MOM_ROWS):
+        for k, c in enumerate(row):
+            if c:
+                mat = jnp.where((rr == r) & (kk == k), jnp.float32(c), mat)
+    stacked = jnp.stack(t)  # (9, h, nx)
+    mom = jax.lax.dot_general(
+        mat, stacked,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    rho = mom[0]
+    inv_rho = 1.0 / rho
+    u_x = mom[1] * inv_rho
+    u_y = mom[2] * inv_rho
+    return _finish_fused(t, rho, u_x, u_y, omega)
+
+
+def bgk_relax_interleaved(ts, omega):
+    """Fused collide for N INDEPENDENT tiles with the chains interleaved
+    at trace time: every intermediate is emitted for all lanes adjacently,
+    so the VPU always has an independent FMA to issue if the single-tile
+    chain is latency-bound (VERDICT r4 item 1, lever a). Per-lane
+    expression trees are IDENTICAL to ``_bgk_fused`` — bit-for-bit equal
+    results, only the op order differs. Returns ``[(relaxed, u_sq), ...]``.
+    """
+    n = len(ts)
+    s13 = [t[1] + t[3] for t in ts]
+    s24 = [t[2] + t[4] for t in ts]
+    s57 = [t[5] + t[7] for t in ts]
+    s68 = [t[6] + t[8] for t in ts]
+    rho = [((a + b) + (c + d)) + t[0]
+           for a, b, c, d, t in zip(s13, s24, s57, s68, ts)]
+    inv_rho = [1.0 / r for r in rho]
+    d57 = [t[5] - t[7] for t in ts]
+    d68 = [t[6] - t[8] for t in ts]
+    u_x = [(((t[1] - t[3]) + a) - b) * ir
+           for t, a, b, ir in zip(ts, d57, d68, inv_rho)]
+    u_y = [(((t[2] - t[4]) + a) + b) * ir
+           for t, a, b, ir in zip(ts, d57, d68, inv_rho)]
+    u_sq = [x * x + y * y for x, y in zip(u_x, u_y)]
+    beta = 1.0 - omega
+    common = [1.0 - u * (0.5 / C_SQ) for u in u_sq]
+    wr0 = [(omega * W0) * r for r in rho]
+    wr1 = [(omega * W1) * r for r in rho]
+    wr2 = [(omega * W2) * r for r in rho]
+    relaxed = [[None] * 9 for _ in range(n)]
+    for i in range(n):
+        relaxed[i][0] = beta * ts[i][0] + wr0[i] * common[i]
+    for k, kb, w, (ax, ay) in _PAIRS:
+        wr = wr1 if w == W1 else wr2
+        if ax and ay:
+            cu = ([x + y for x, y in zip(u_x, u_y)] if ax == 1.0
+                  else [y - x for x, y in zip(u_x, u_y)])
+        else:
+            cu = u_x if ax else u_y
+        q = [wr[i] * (common[i] + (cu[i] * cu[i]) * (0.5 / (C_SQ * C_SQ)))
+             for i in range(n)]
+        d = [wr[i] * (cu[i] * (1.0 / C_SQ)) for i in range(n)]
+        for i in range(n):
+            relaxed[i][k] = beta * ts[i][k] + (q[i] + d[i])
+            relaxed[i][kb] = beta * ts[i][kb] + (q[i] - d[i])
+    return [(tuple(relaxed[i]), u_sq[i]) for i in range(n)]
 
 
 def bgk_relax(t, omega, *, paired=True):

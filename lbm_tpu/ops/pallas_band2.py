@@ -97,7 +97,26 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
              out_ref, sums_ref, a_ref, b_ref,
              *, block: int, nblk: int, depth: int, nx: int, tile_w: int,
              w1a: float, w2a: float, omega: float, out_dtype,
-             paired: bool = True, dev=None):
+             paired: bool = True, dev=None, probe: str = ""):
+    # ``probe`` tokens (scripts/probe_band2_body.py only — never
+    # driver-reachable). Attribution (PHYSICS-WRONG, the
+    # bench_r4_aasmall methodology applied to the HBM-regime residue,
+    # VERDICT r4 weak #1): "noforce" skips the forcing rows, "noav" the
+    # per-tile |u| fold, "noshift" replaces every pull with the
+    # unshifted mid slice, "nowhere" skips the obstacle select,
+    # "nocollide" stores the pulled planes unrelaxed (stream-only
+    # floor; implies noav). Real-physics levers (VERDICT r4 item 1):
+    # "pipe2" interleaves two step-tiles' collide chains at trace time
+    # (collision.bgk_relax_interleaved — bit-identical per lane),
+    # "mxumom" contracts the moments on the idle MXU
+    # (collision.bgk_relax_mxumom).
+    probe_noforce = "noforce" in probe
+    probe_noav = ("noav" in probe) or ("nocollide" in probe)
+    probe_noshift = "noshift" in probe
+    probe_nowhere = "nowhere" in probe
+    probe_nocollide = "nocollide" in probe
+    probe_pipe2 = "pipe2" in probe
+    probe_mxumom = "mxumom" in probe
     i = pl.program_id(0)
     B, T = block, depth
     W = B + 2 * T
@@ -150,54 +169,81 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
     ntiles = W // tile_w
 
-    def one_step(src, dst, s):
-        force_rows(src)
-        total = None
-        for j in range(ntiles):
-            r0 = j * tile_w
+    def tile_pulls(src, r0):
+        def rowm(k, r):
+            r = r % W  # buffer wrap: garbage zone only (creep argument)
+            return src[k, r : r + 1]
 
-            def mid(k):
+        def pull(k):
+            cy, cx = _CYS[k], _CXS[k]
+            if probe_noshift:
                 return src[k, r0 : r0 + tile_w]
-
-            def rowm(k, r):
-                r = r % W  # buffer wrap: garbage zone only (creep argument)
-                return src[k, r : r + 1]
-
-            def pull(k):
-                cy, cx = _CYS[k], _CXS[k]
-                if cy == 0:
-                    p = mid(k)
-                elif cy == 1:  # t[r] = src[r-1]
-                    p = jnp.concatenate(
-                        [rowm(k, r0 - 1), src[k, r0 : r0 + tile_w - 1]],
-                        axis=0,
-                    )
-                else:  # t[r] = src[r+1]
-                    p = jnp.concatenate(
-                        [src[k, r0 + 1 : r0 + tile_w], rowm(k, r0 + tile_w)],
-                        axis=0,
-                    )
-                if cx == 1:
-                    p = east(p)
-                elif cx == -1:
-                    p = west(p)
-                return p
-
-            t = tuple(pull(k) for k in range(9))
-            relaxed, usq = bgk_relax(t, omega, paired=paired)
-            nob_b = nob_b_all[r0 : r0 + tile_w]
-            for k in range(9):
-                dst[k, r0 : r0 + tile_w] = jnp.where(
-                    nob_b, relaxed[k], t[_OPP[k]]
+            if cy == 0:
+                p = src[k, r0 : r0 + tile_w]
+            elif cy == 1:  # t[r] = src[r-1]
+                p = jnp.concatenate(
+                    [rowm(k, r0 - 1), src[k, r0 : r0 + tile_w - 1]],
+                    axis=0,
                 )
-            # Central-band partial only: static intersection of this tile
-            # with rows [T, T+B) — edge garbage (incl. 1/rho infinities)
-            # never reaches the sums.
-            lo, hi = max(r0, T), min(r0 + tile_w, T + B)
-            if lo < hi:
-                total = av_fold(
-                    total, nob_all[lo:hi], usq[lo - r0 : hi - r0], paired
+            else:  # t[r] = src[r+1]
+                p = jnp.concatenate(
+                    [src[k, r0 + 1 : r0 + tile_w], rowm(k, r0 + tile_w)],
+                    axis=0,
                 )
+            if cx == 1:
+                p = east(p)
+            elif cx == -1:
+                p = west(p)
+            return p
+
+        return tuple(pull(k) for k in range(9))
+
+    def tile_relax(t):
+        if probe_nocollide:
+            return t, None
+        if probe_mxumom:
+            from lbm_tpu.ops.collision import bgk_relax_mxumom
+
+            return bgk_relax_mxumom(t, omega)
+        return bgk_relax(t, omega, paired=paired)
+
+    def tile_finish(dst, r0, t, relaxed, usq, total):
+        nob_b = nob_b_all[r0 : r0 + tile_w]
+        for k in range(9):
+            dst[k, r0 : r0 + tile_w] = (
+                relaxed[k]
+                if probe_nowhere
+                else jnp.where(nob_b, relaxed[k], t[_OPP[k]])
+            )
+        # Central-band partial only: static intersection of this tile
+        # with rows [T, T+B) — edge garbage (incl. 1/rho infinities)
+        # never reaches the sums.
+        lo, hi = max(r0, T), min(r0 + tile_w, T + B)
+        if lo < hi and not probe_noav:
+            total = av_fold(
+                total, nob_all[lo:hi], usq[lo - r0 : hi - r0], paired
+            )
+        return total
+
+    def one_step(src, dst, s):
+        if not probe_noforce:
+            force_rows(src)
+        total = None
+        if probe_pipe2:
+            from lbm_tpu.ops.collision import bgk_relax_interleaved
+
+            for j0 in range(0, ntiles, 2):
+                r0s = [jj * tile_w for jj in range(j0, min(j0 + 2, ntiles))]
+                ts = [tile_pulls(src, r0) for r0 in r0s]
+                outs = bgk_relax_interleaved(ts, omega)
+                for r0, t, (relaxed, usq) in zip(r0s, ts, outs):
+                    total = tile_finish(dst, r0, t, relaxed, usq, total)
+        else:
+            for j in range(ntiles):
+                r0 = j * tile_w
+                t = tile_pulls(src, r0)
+                relaxed, usq = tile_relax(t)
+                total = tile_finish(dst, r0, t, relaxed, usq, total)
         sums_ref[i, s] = av_total(total)
 
     def two_steps(h, carry):
@@ -219,7 +265,7 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-                paired=True, dev=None, tilew=None):
+                paired=True, dev=None, tilew=None, probe=""):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -232,7 +278,7 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     kern = functools.partial(
         _kernel2, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev,
+        dev=dev, probe=probe,
     )
     return pl.pallas_call(
         kern,
@@ -1001,8 +1047,10 @@ def step_band2_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
 
 
 def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
-               *, interpret=False, paired=None, dev=None):
-    """Advance T timesteps in one pass. Same contract as step_band."""
+               *, interpret=False, paired=None, dev=None, probe=""):
+    """Advance T timesteps in one pass. Same contract as step_band.
+    ``probe`` selects attribution/lever variants (scripts/
+    probe_band2_body.py only — see the ``_kernel2`` token list)."""
     _, ny, nx = cells.shape
     call = _make_call2(
         ny, nx, block, depth,
@@ -1012,7 +1060,7 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev, tilew=_tilew_env(),
+        dev=dev, tilew=_tilew_env(), probe=probe,
     )
     out, sums = call(cells, cells, cells, nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
@@ -1020,10 +1068,11 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
 
 def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
               *, panel=None, halo=128, interpret=False, paired=None,
-              dev=None):
+              dev=None, probe=""):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
     the single-step block kernel. Same contract as run_band. ``panel``
-    selects the x-split variant."""
+    selects the x-split variant. ``probe`` (full-row only) builds the
+    attribution/lever kernel variants — probe scripts only."""
     from lbm_tpu.ops import pallas_step as PS
     from lbm_tpu.ops.pallas_band import nobst_ext_panel
 
@@ -1053,6 +1102,9 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
     npasses = n_iters // T
     tot_u = jnp.zeros((n_iters,), jnp.float32)
 
+    if probe and panel is not None:
+        raise ValueError("band2 probe variants are full-row only")
+
     def body(j, carry):
         cells, tot_u = carry
         if panel is not None:
@@ -1063,7 +1115,7 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
         else:
             cells, sums = step_band2(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
-                interpret=interpret, paired=paired, dev=dev,
+                interpret=interpret, paired=paired, dev=dev, probe=probe,
             )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u

@@ -85,6 +85,68 @@ def test_band2_tilew_override(monkeypatch):
         run_band2(*args, interpret=True)
 
 
+def test_band2_pipe2_bit_identical():
+    """The pipe2 lever (two step-tiles' collide chains interleaved at
+    trace time, collision.bgk_relax_interleaved) must be BIT-IDENTICAL
+    to the base kernel: per-lane expression trees are unchanged, only
+    the op emission order differs."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=16)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    args = (jnp.asarray(state), nobst, params.density, params.accel,
+            params.omega, 16, 32, 16)
+    cells0, tot0 = run_band2(*args, interpret=True)
+    cells1, tot1 = run_band2(*args, interpret=True, probe="pipe2")
+    assert np.array_equal(np.asarray(cells0), np.asarray(cells1))
+    np.testing.assert_allclose(np.asarray(tot0), np.asarray(tot1), rtol=0,
+                               atol=0)
+
+
+def test_band2_mxumom_matches_oracle():
+    """The MXU moment-offload lever (collision.bgk_relax_mxumom): real
+    physics, moments through a dot_general instead of the hand-grouped
+    sums — oracle agreement at the usual band tolerance."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=16)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    cells, tot_u = run_band2(
+        jnp.asarray(state), nobst, params.density, params.accel, params.omega,
+        16, 32, 16, interpret=True, probe="mxumom",
+    )
+    want, want_tot = oracle_run(state, obstacles, params, 16)
+    assert np.abs(np.asarray(cells) - want).max() < 1e-5 * np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(tot_u), want_tot, rtol=1e-4)
+
+
+def test_band2_attribution_probes_run():
+    """The physics-wrong attribution tokens build and run (their results
+    are meaningless by design — this pins only that each variant's
+    kernel is well-formed, so a TPU probe session can't be stranded by a
+    trace error)."""
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=8)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    for probe in ("noforce", "noav", "noshift", "nowhere", "nocollide",
+                  "noforce,noav"):
+        cells, tot_u = run_band2(
+            jnp.asarray(state), nobst, params.density, params.accel,
+            params.omega, 8, 32, 8, interpret=True, probe=probe,
+        )
+        assert cells.shape == (9, params.ny, params.nx)
+        assert np.isfinite(np.asarray(tot_u)).all() or "noav" in probe
+
+
+def test_band2_probe_panel_rejected():
+    params = dataclasses.replace(PARAMS, nx=256, ny=64, max_iters=8)
+    state, obstacles = make_setup(params)
+    nobst = (jnp.asarray(obstacles) == 0).astype(jnp.float32)
+    with pytest.raises(ValueError, match="full-row only"):
+        run_band2(
+            jnp.asarray(state), nobst, params.density, params.accel,
+            params.omega, 8, 16, 8, panel=128, interpret=True, probe="noav",
+        )
+
+
 def test_band2_supported():
     assert band2_supported(64, 128, 16, 8)
     assert not band2_supported(64, 128, 8, 8)     # block < 2T
