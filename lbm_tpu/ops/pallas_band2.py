@@ -593,12 +593,24 @@ def step_band2_panel(cells, nob_ext_arr, owner, density, accel, omega,
 # Same contract as pallas_band._kernel_sharded: the shard's T-row halos
 # arrive by ppermute (buffer edges are GENUINE data; garbage creeps only
 # from the boundary), and the accelerate row may land anywhere, so forcing
-# uses the global-row selector (r0 SMEM scalar + program_id). Because the
-# position is dynamic, the 1-row in-place update of the full-grid band2
-# kernel is replaced by a per-step forcing FIELD: am_all = selector x
-# elementwise positivity (3 full-buffer reads + compares), and each forced
-# plane's pull adds its y-aligned slice of am_all BEFORE the x-roll (the
-# delta rides with the value, matching kernels.cl:29-41's per-cell gate).
+# uses the global-row selector (r0 SMEM scalar + program_id). Two
+# implementations, selected by ``LBM_SHARD_FORCE`` (resolved outside the
+# trace, keys the kernel-build caches):
+#
+# ``row``: the accelerate row appears AT MOST ONCE in a block's W-row
+# window (the window is a contiguous arc of W < ny global rows), at
+# buffer row ``pos = (ny-2 - (r0 + i*B - T)) mod ny`` when ``pos < W`` —
+# so the forcing is ONE dynamic-row in-place update per step
+# (``pl.when(pos < W)`` + ``pl.ds`` ref indexing), the sharded analogue
+# of the full-grid kernel's two static 1-row updates.
+#
+# ``field`` (the round-4 form, the default until the row form is
+# TPU-measured): a per-step forcing FIELD — am_all = selector x
+# elementwise positivity (3 full-buffer reads + compares), each forced
+# plane's pull adding its y-aligned slice of am_all BEFORE the x-roll.
+# Costs ~10 full-buffer VPU ops per step for a 1-row effect — a suspect
+# term of the round-4 mesh=1 sharding tax (VERDICT r4 weak #3). Both
+# match kernels.cl:29-41 per-cell semantics (tests/test_sharded.py).
 
 
 def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
