@@ -190,20 +190,32 @@ def av_fold(acc, nob, u_sq, paired=None, form=None):
 
     Rows not reaching a full 8-row group under ``vec`` (band slices with
     non-sublane-aligned depth offsets) spill to the scalar slot.
+
+    ``nob=None`` skips the mask multiply — the clean-tile fast path
+    (the caller proved the tile obstacle-free at dispatch time, so
+    ``nob`` would be all-ones; bench_r5_b2body.json attributes ~6% of
+    the band2 step to the select+mask work this path removes).
     """
     import jax.numpy as jnp
 
     vec, scal = (None, None) if acc is None else acc
     u = u_mag(u_sq, paired)
+
+    def masked(x):
+        return x if nob is None else nob * x
+
     structure = av_form(paired, form)
     if structure == "vec":
         h = u.shape[0]
         full = h - h % 8
         for g in range(0, full, 8):
-            term = nob[g : g + 8] * u[g : g + 8]
+            term = (u[g : g + 8] if nob is None
+                    else nob[g : g + 8] * u[g : g + 8])
             vec = term if vec is None else vec + term
         if h % 8:
-            part = jnp.sum(nob[full:] * u[full:])
+            part = jnp.sum(
+                u[full:] if nob is None else nob[full:] * u[full:]
+            )
             scal = part if scal is None else scal + part
         return vec, scal
     if structure.startswith("mxu"):
@@ -221,13 +233,13 @@ def av_fold(acc, nob, u_sq, paired=None, form=None):
         }[structure]
         ones = jnp.ones((1, u.shape[0]), jnp.float32)
         term = jax.lax.dot_general(
-            ones, nob * u, (((1,), (0,)), ((), ())),
+            ones, masked(u), (((1,), (0,)), ((), ())),
             precision=prec,
             preferred_element_type=jnp.float32,
         )
         vec = term if vec is None else vec + term
         return vec, scal
-    part = jnp.sum(nob * u)
+    part = jnp.sum(masked(u))
     return vec, (part if scal is None else scal + part)
 
 

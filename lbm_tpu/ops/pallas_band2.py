@@ -97,7 +97,8 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
              out_ref, sums_ref, a_ref, b_ref,
              *, block: int, nblk: int, depth: int, nx: int, tile_w: int,
              w1a: float, w2a: float, omega: float, out_dtype,
-             paired: bool = True, dev=None, probe: str = ""):
+             paired: bool = True, dev=None, probe: str = "",
+             dirty=None):
     # ``probe`` tokens (scripts/probe_band2_body.py only — never
     # driver-reachable). Attribution (PHYSICS-WRONG, the
     # bench_r4_aasmall methodology applied to the HBM-regime residue,
@@ -225,9 +226,81 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             )
         return total
 
+    def av_partial(nob, usq, lo, hi, r0):
+        """One tile's scalar |u| partial (``nob=None`` = unmasked)."""
+        return av_total(
+            av_fold(None, nob, usq[lo - r0 : hi - r0], paired)
+        )
+
     def one_step(src, dst, s):
         if not probe_noforce:
             force_rows(src)
+        if dirty is not None:
+            # Clean-tile specialization (bench_r5_b2body.json: the
+            # 9-plane obstacle select costs ~6.4% of the step, the
+            # mask multiply part of the |u| fold more): ``dirty[j]`` is
+            # the STATIC tuple of block indices whose window rows
+            # [j*tile_w, (j+1)*tile_w) contain any obstacle, computed
+            # from the HOST mask at dispatch time (``dirty_tiles``).
+            # Statically-clean tiles compile a select-free store and an
+            # unmasked fold; statically-dirty tiles the full path; mixed
+            # tiles branch at runtime on the block id (``pl.when`` both
+            # ways — each program executes one). The per-step sum
+            # accumulates through the SMEM slot (0.0 + part1 + part2 is
+            # bit-identical to the value-chain form).
+            sums_ref[i, s] = jnp.float32(0.0)
+
+            def store_clean(r0, relaxed):
+                for k in range(9):
+                    dst[k, r0 : r0 + tile_w] = relaxed[k]
+
+            def store_dirty(r0, t, relaxed):
+                nob_b = nob_b_all[r0 : r0 + tile_w]
+                for k in range(9):
+                    dst[k, r0 : r0 + tile_w] = jnp.where(
+                        nob_b, relaxed[k], t[_OPP[k]]
+                    )
+
+            for j in range(ntiles):
+                r0 = j * tile_w
+                t = tile_pulls(src, r0)
+                relaxed, usq = bgk_relax(t, omega, paired=paired)
+                lo, hi = max(r0, T), min(r0 + tile_w, T + B)
+                dl = dirty[j]
+                if len(dl) == 0:
+                    store_clean(r0, relaxed)
+                    if lo < hi:
+                        sums_ref[i, s] = sums_ref[i, s] + av_partial(
+                            None, usq, lo, hi, r0
+                        )
+                elif len(dl) == nblk:
+                    store_dirty(r0, t, relaxed)
+                    if lo < hi:
+                        sums_ref[i, s] = sums_ref[i, s] + av_partial(
+                            nob_all[lo:hi], usq, lo, hi, r0
+                        )
+                else:
+                    pred = i == dl[0]
+                    for bi in dl[1:]:
+                        pred = pred | (i == bi)
+
+                    @pl.when(pred)
+                    def _(r0=r0, t=t, relaxed=relaxed, usq=usq,
+                          lo=lo, hi=hi):
+                        store_dirty(r0, t, relaxed)
+                        if lo < hi:
+                            sums_ref[i, s] = sums_ref[i, s] + av_partial(
+                                nob_all[lo:hi], usq, lo, hi, r0
+                            )
+
+                    @pl.when(jnp.logical_not(pred))
+                    def _(r0=r0, relaxed=relaxed, usq=usq, lo=lo, hi=hi):
+                        store_clean(r0, relaxed)
+                        if lo < hi:
+                            sums_ref[i, s] = sums_ref[i, s] + av_partial(
+                                None, usq, lo, hi, r0
+                            )
+            return
         total = None
         if probe_pipe2:
             from lbm_tpu.ops.collision import bgk_relax_interleaved
@@ -265,7 +338,7 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
-                paired=True, dev=None, tilew=None, probe=""):
+                paired=True, dev=None, tilew=None, probe="", dirty=None):
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
@@ -275,10 +348,11 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx, tilew)
+    assert not (probe and dirty), "probe variants run without clean-tiles"
     kern = functools.partial(
         _kernel2, block=block, nblk=nblk, depth=T, nx=nx, tile_w=tile_w,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
-        dev=dev, probe=probe,
+        dev=dev, probe=probe, dirty=dirty,
     )
     return pl.pallas_call(
         kern,
@@ -1058,11 +1132,63 @@ def step_band2_sharded_panel(cells, n_compact, s_compact, nob_ext_arr, r0,
     return out, jnp.sum(sums, axis=(0, 1))  # (T,) per-step local partials
 
 
+def clean_env() -> bool:
+    """LBM_BAND2_CLEAN: "1" enables the clean-tile specialization (skip
+    the obstacle select + mask-multiply on step-tiles the HOST mask
+    proves obstacle-free — bench_r5_b2body.json attributes ~6% of the
+    band2 step to that work), "0"/unset disables. Read OUTSIDE jit so a
+    changed value is a new cache key (the standard LBM_* knob rule).
+    Opt-in until the TPU A/B validates the ``pl.when`` mixed-tile branch
+    on the relay toolchain."""
+    import os
+
+    return os.environ.get("LBM_BAND2_CLEAN", "") == "1"
+
+
+def dirty_tiles(obstacles, block, depth, *, tilew=None):
+    """STATIC clean-tile map for ``step_band2``: for each step-tile index
+    ``j``, the sorted tuple of grid-block ids ``i`` whose window rows
+    ``[j*tile_w, (j+1)*tile_w)`` (global rows ``i*block - T + r mod ny``,
+    the exact rows ``nobst_ext`` hands block ``i``) contain ANY obstacle
+    cell. Computed from the HOST mask at dispatch time, so it is a
+    hashable compile-time constant: ``_kernel2`` compiles a select-free
+    store and an unmasked |u| fold for tiles clean across all blocks,
+    the full masked path for tiles dirty across all blocks, and a
+    ``pl.when`` runtime branch on the block id for mixed tiles.
+
+    ``obstacles`` is the reference-convention host mask (nonzero =
+    blocked, d2q9-bgk.c:550-557); ``tilew`` must match the value
+    ``step_band2`` resolves (both default to ``_tilew_env()``).
+    """
+    import numpy as np
+
+    obstacles = np.asarray(obstacles)
+    ny = obstacles.shape[0]
+    T = depth
+    W = block + 2 * T
+    tile_w = _pick_tile_w(W, obstacles.shape[1],
+                          _tilew_env() if tilew is None else tilew)
+    nblk = ny // block
+    row_blocked = np.any(obstacles != 0, axis=1)
+    tiles = []
+    for j in range(W // tile_w):
+        dirty = []
+        for i in range(nblk):
+            rows = (i * block - T + j * tile_w + np.arange(tile_w)) % ny
+            if row_blocked[rows].any():
+                dirty.append(i)
+        tiles.append(tuple(dirty))
+    return tuple(tiles)
+
+
 def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
-               *, interpret=False, paired=None, dev=None, probe=""):
+               *, interpret=False, paired=None, dev=None, probe="",
+               dirty=None):
     """Advance T timesteps in one pass. Same contract as step_band.
     ``probe`` selects attribution/lever variants (scripts/
-    probe_band2_body.py only — see the ``_kernel2`` token list)."""
+    probe_band2_body.py only — see the ``_kernel2`` token list);
+    ``dirty`` is the clean-tile specialization bitmap from
+    ``dirty_tiles`` (None = no specialization)."""
     _, ny, nx = cells.shape
     call = _make_call2(
         ny, nx, block, depth,
@@ -1072,7 +1198,7 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev, tilew=_tilew_env(), probe=probe,
+        dev=dev, tilew=_tilew_env(), probe=probe, dirty=dirty,
     )
     out, sums = call(cells, cells, cells, nob_ext_arr, owner)
     return out, tuple(jnp.sum(sums[:, s]) for s in range(depth))
@@ -1080,11 +1206,12 @@ def step_band2(cells, nob_ext_arr, owner, density, accel, omega, block, depth,
 
 def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
               *, panel=None, halo=128, interpret=False, paired=None,
-              dev=None, probe=""):
+              dev=None, probe="", dirty=None):
     """Run ``n_iters`` steps, T per pass; trailing ``n_iters % T`` steps use
     the single-step block kernel. Same contract as run_band. ``panel``
     selects the x-split variant. ``probe`` (full-row only) builds the
-    attribution/lever kernel variants — probe scripts only."""
+    attribution/lever kernel variants — probe scripts only. ``dirty``
+    (full-row only) is the ``dirty_tiles`` clean-tile map."""
     from lbm_tpu.ops import pallas_step as PS
     from lbm_tpu.ops.pallas_band import nobst_ext_panel
 
@@ -1116,6 +1243,8 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
 
     if probe and panel is not None:
         raise ValueError("band2 probe variants are full-row only")
+    if dirty is not None and panel is not None:
+        raise ValueError("band2 clean-tile specialization is full-row only")
 
     def body(j, carry):
         cells, tot_u = carry
@@ -1128,6 +1257,7 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
             cells, sums = step_band2(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 interpret=interpret, paired=paired, dev=dev, probe=probe,
+                dirty=dirty,
             )
         tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
         return cells, tot_u

@@ -1169,13 +1169,15 @@ def _run_slab(cells, obstacles, inv_tot_cells, n_iters, density, accel, omega,
 @functools.partial(
     jax.jit,
     static_argnames=("n_iters", "density", "accel", "omega", "interpret",
-                     "block", "depth", "panel", "paired", "dev"),
+                     "block", "depth", "panel", "paired", "dev", "dirty"),
     donate_argnums=(0,),
 )
 def _run_band2(cells, obstacles, inv_tot_cells, n_iters, density, accel,
                omega, interpret, block, depth, panel=None, paired=True,
-               dev=None):
-    # knobs resolved by the caller OUTSIDE jit.
+               dev=None, dirty=None):
+    # knobs resolved by the caller OUTSIDE jit (dirty: the clean-tile
+    # map from pallas_band2.dirty_tiles — a host-mask compile-time
+    # constant, hence static).
     from lbm_tpu.ops.pallas_band2 import run_band2
 
     if cells.dtype not in (jnp.float32, jnp.bfloat16, jnp.int16):
@@ -1184,7 +1186,7 @@ def _run_band2(cells, obstacles, inv_tot_cells, n_iters, density, accel,
     cells, tot_u = run_band2(
         cells, nobst, density, accel, omega, n_iters,
         block, depth, panel=panel, interpret=interpret, paired=paired,
-        dev=dev,
+        dev=dev, dirty=dirty,
     )
     return cells, tot_u * inv_tot_cells
 
@@ -1416,10 +1418,18 @@ def _run_simulation_impl(
                 else jnp.float32
             )
             b2_block, b2_depth, b2_panel = band2_config(params, b2_dtype)
+            b2_dirty = None
+            if b2_panel is None:
+                from lbm_tpu.ops.pallas_band2 import clean_env, dirty_tiles
+
+                if clean_env():  # resolved OUTSIDE jit (keys the cache)
+                    b2_dirty = dirty_tiles(
+                        np.asarray(obstacles), b2_block, b2_depth
+                    )
             return _run_band2.lower(
                 cells, obstacles_dev, inv_tot_cells,
                 interpret=band2_interpret, block=b2_block, depth=b2_depth,
-                panel=b2_panel, dev=dev_tuple, **common,
+                panel=b2_panel, dev=dev_tuple, dirty=b2_dirty, **common,
             )
         if band3_interpret is not None:
             b3_dtype = (

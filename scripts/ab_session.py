@@ -26,6 +26,7 @@ SPEC is ``tag:key=val[,key=val...]`` with keys:
                                   LBM_PALLAS_BLOCK, by backend)
     tile      AA tile height     (env LBM_AA_TILE)
     collide   paired|literal     (env LBM_COLLIDE)
+    clean     0|1  band2 clean-tile specialization (env LBM_BAND2_CLEAN)
     rowforce  0|1  row-targeted band forcing (env LBM_BAND_ROWFORCE)
     unroll    band in-kernel loop unroll     (env LBM_BAND_UNROLL)
     geometry  walls|box|none                              [walls]
@@ -63,7 +64,7 @@ _ENV_KEYS = (
     "LBM_DEEP_DEPTH", "LBM_DEEP_BLOCK", "LBM_BAND_DEPTH", "LBM_BAND_BLOCK",
     "LBM_BAND_PANEL", "LBM_BAND_ROWFORCE", "LBM_BAND_UNROLL",
     "LBM_BAND3_DEPTH", "LBM_BAND3_BLOCK", "LBM_BAND3_PANEL",
-    "LBM_BAND2_TILEW",
+    "LBM_BAND2_TILEW", "LBM_BAND2_CLEAN",
     "LBM_SLAB_K", "LBM_SLAB_S",
 )
 
@@ -94,7 +95,7 @@ def parse_spec(spec: str) -> dict:
     out["dtype"] = kv.get("dtype", "f32")
     out["geometry"] = kv.get("geometry", "walls")
     for k in ("depth", "block", "tile", "tilew", "chunk", "panel", "rowforce",
-              "unroll", "slabk", "slabs"):
+              "unroll", "slabk", "slabs", "clean"):
         if k in kv:
             out[k] = int(kv[k])
     if "collide" in kv:
@@ -130,6 +131,8 @@ def variant_env(v: dict) -> dict:
         env["LBM_AA_TILE"] = str(v["tile"])
     if "tilew" in v:
         env["LBM_BAND2_TILEW"] = str(v["tilew"])
+    if "clean" in v:
+        env["LBM_BAND2_CLEAN"] = str(v["clean"])
     if "chunk" in v:
         env["LBM_AA_CHUNK"] = str(v["chunk"])
     if "panel" in v:

@@ -231,3 +231,27 @@ def test_fetch_final_false_skips_state(small_params, small_obstacles):
     )
     assert slim.cells is None
     np.testing.assert_array_equal(full.av_vels, slim.av_vels)
+
+
+def test_band2_clean_env_wiring(monkeypatch):
+    """LBM_BAND2_CLEAN=1 routes the clean-tile map (pallas_band2.
+    dirty_tiles, computed from the HOST mask at lower time) through the
+    full driver plumbing: the run is bit-identical in state and
+    gate-tight in av_vels vs the unspecialized kernel."""
+    import dataclasses as _dc
+
+    from lbm_tpu.models.d2q9 import LBMParams
+
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    p = LBMParams(nx=128, ny=64, max_iters=19, reynolds_dim=10,
+                  density=0.1, accel=0.005, omega=1.85)
+    rng = np.random.RandomState(5)
+    obs = np.zeros((p.ny, p.nx), dtype=np.int32)
+    obs[0, :] = obs[-1, :] = 1
+    obs[rng.randint(1, p.ny - 1, 6), rng.randint(0, p.nx, 6)] = 1
+    base = run_simulation(p, obs, backend="band2")
+    monkeypatch.setenv("LBM_BAND2_CLEAN", "1")
+    clean = run_simulation(p, obs, backend="band2")
+    assert np.array_equal(np.asarray(base.cells), np.asarray(clean.cells))
+    np.testing.assert_allclose(clean.av_vels, base.av_vels, rtol=1e-5)
