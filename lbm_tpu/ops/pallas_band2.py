@@ -1138,8 +1138,14 @@ def clean_env() -> bool:
     proves obstacle-free — bench_r5_b2body.json attributes ~6% of the
     band2 step to that work), "0"/unset disables. Read OUTSIDE jit so a
     changed value is a new cache key (the standard LBM_* knob rule).
-    Opt-in until the TPU A/B validates the ``pl.when`` mixed-tile branch
-    on the relay toolchain."""
+
+    QUARANTINED NEGATIVE RESULT (bench_r5_clean.json): on silicon with
+    walls geometry this is 9-10% SLOWER than base at 2048²/4096² —
+    the W = B + 2T window overlap makes the boundary obstacle rows
+    dirty *somewhere* for every step-tile, so all tiles are mixed,
+    both ``pl.when`` store paths compile, and Mosaic predication
+    executes the dual-path work. Kept opt-in for geometries with
+    block-aligned obstacle-free bands >= W rows; NEVER auto-routed."""
     import os
 
     return os.environ.get("LBM_BAND2_CLEAN", "") == "1"
