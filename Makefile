@@ -54,6 +54,12 @@ test:
 bench:
 	$(PYTHON) bench.py
 
+# Weak-scaling sweep. On this mount (one chip) it validates the protocol
+# on a virtual 8-device CPU mesh; on a pod run `python bench_scaling.py
+# 1024 --out scaling_pod.json` instead (BENCHMARKS.md runbook).
+scaling:
+	$(PYTHON) bench_scaling.py --cpu-mesh --out scaling_cpu.json
+
 plot:
 	$(PYTHON) -m lbm_tpu.utils.viz final_state.dat final_state.png
 
@@ -61,4 +67,4 @@ clean:
 	$(MAKE) -C native clean
 	rm -f av_vels.dat final_state.dat final_state.png
 
-.PHONY: all native run check test bench plot clean
+.PHONY: all native run check test bench scaling plot clean

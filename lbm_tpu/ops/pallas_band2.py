@@ -687,11 +687,34 @@ def step_band2_panel(cells, nob_ext_arr, owner, density, accel, omega,
 # match kernels.cl:29-41 per-cell semantics (tests/test_sharded.py).
 
 
-def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
-                     out_ref, sums_ref, a_ref, b_ref,
-                     *, block: int, depth: int, ny: int, nx: int,
-                     tile_w: int, w1a: float, w2a: float, omega: float,
-                     out_dtype, paired: bool = True, dev=None):
+def _kernel2_sharded(*refs, block: int, depth: int, nblk: int, ny: int,
+                     nx: int, tile_w: int, w1a: float, w2a: float,
+                     omega: float, out_dtype, paired: bool = True,
+                     dev=None, lean: bool = False, rowforce: bool = False):
+    """Sharded band2 body. Two protocol levers (VERDICT r4 weak #3, the
+    mesh=1 tax decomposition):
+
+    ``lean``: neighbor T-row strips are BlockSpec VIEWS of the local
+    ``cells`` array (the single-device ``_make_call2`` index-map trick,
+    zero extra HBM materialization) and only the two shard-crossing
+    strips arrive as small ppermuted halo arrays (``hdn_ref``/
+    ``hup_ref``, fetched once — their index map is constant, so the
+    Pallas pipeline skips the re-DMA on every later grid step). The
+    legacy protocol instead materializes two (9, nblk*T, nx) compact
+    arrays per pass (~75 MB of extra HBM traffic at 2048^2 B128 T16).
+
+    ``rowforce``: accelerate_flow as ONE dynamic-row in-place update at
+    buffer row ``pos = (ny-2 - (r0 + i*B - T)) mod ny`` when pos < W —
+    the sharded analogue of the full-grid kernel's two static 1-row
+    updates — instead of the per-step forcing FIELD (3 full-buffer
+    compares + 6 full-buffer FMAs for a 1-row effect).
+    """
+    if lean:
+        (c_ref, n_ref, s_ref, hdn_ref, hup_ref, nobst_ref, r0_ref,
+         out_ref, sums_ref, a_ref, b_ref) = refs
+    else:
+        (c_ref, n_ref, s_ref, nobst_ref, r0_ref,
+         out_ref, sums_ref, a_ref, b_ref) = refs
     i = pl.program_id(0)
     B, T = block, depth
     W = B + 2 * T
@@ -706,9 +729,15 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
     nob_all = nobst_ref[...][:W].astype(jnp.float32)
     nob_b_all = nob_all > 0.0
     r0 = r0_ref[0, 0]
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
-    sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
+    if rowforce:
+        sel_nob = None
+        pos = jnp.remainder(
+            jnp.int32(ny - 2) - (r0 + i * B - T), jnp.int32(ny)
+        )
+    else:
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
+        sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
 
     if dev is None:
         load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
@@ -718,22 +747,61 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
         def load(v, k):
             return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
 
-    for k in range(9):
-        a_ref[k, :T] = load(n_ref[k], k)
-        a_ref[k, T : T + B] = load(c_ref[k], k)
-        a_ref[k, T + B :] = load(s_ref[k], k)
+    if lean:
+        first = i == 0
+        last = i == nblk - 1
+        for k in range(9):
+            a_ref[k, :T] = jnp.where(
+                first, load(hdn_ref[k], k), load(n_ref[k], k)
+            )
+            a_ref[k, T : T + B] = load(c_ref[k], k)
+            a_ref[k, T + B :] = jnp.where(
+                last, load(hup_ref[k], k), load(s_ref[k], k)
+            )
+    else:
+        for k in range(9):
+            a_ref[k, :T] = load(n_ref[k], k)
+            a_ref[k, T : T + B] = load(c_ref[k], k)
+            a_ref[k, T + B :] = load(s_ref[k], k)
 
     ntiles = W // tile_w
     sign = {1: 1.0, 5: 1.0, 8: 1.0, 3: -1.0, 6: -1.0, 7: -1.0}
     kind = {1: 1, 3: 1, 5: 2, 6: 2, 7: 2, 8: 2}
 
+    def force_row(src):
+        """In-place accelerate_flow at the (at most one — the window is a
+        contiguous arc of W < ny global rows) buffer row holding global
+        row ny-2; the mutate-then-pull order matches the reference
+        (kernels.cl:29-41 runs before propagate)."""
+
+        @pl.when(pos < W)
+        def _():
+            d = pl.ds(pos, 1)
+            s1 = src[1, d]
+            s3 = src[3, d]
+            s5 = src[5, d]
+            s6 = src[6, d]
+            s7 = src[7, d]
+            s8 = src[8, d]
+            ok = (
+                (s3 - w1a > 0.0) & (s6 - w2a > 0.0) & (s7 - w2a > 0.0)
+            ).astype(jnp.float32)
+            am = ok * nobst_ref[d].astype(jnp.float32)
+            vals = {1: s1, 3: s3, 5: s5, 6: s6, 7: s7, 8: s8}
+            for k, sgn, knd in _FORCE:
+                src[k, d] = vals[k] + sgn * wgt[knd] * am
+
     def one_step(src, dst, s):
-        ok = (
-            (src[3] - w1a > 0.0)
-            & (src[6] - w2a > 0.0)
-            & (src[7] - w2a > 0.0)
-        ).astype(jnp.float32)
-        am_all = sel_nob * ok  # (W, nx); nonzero on the forcing row(s) only
+        if rowforce:
+            force_row(src)
+            am_all = None
+        else:
+            ok = (
+                (src[3] - w1a > 0.0)
+                & (src[6] - w2a > 0.0)
+                & (src[7] - w2a > 0.0)
+            ).astype(jnp.float32)
+            am_all = sel_nob * ok  # (W, nx); nonzero on the forcing rows
 
         def am_rows(lo, h):
             """am_all rows [lo, lo+h) with buffer wrap (garbage zone)."""
@@ -767,7 +835,8 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
                          rowm(k, r0t + tile_w)],
                         axis=0,
                     )
-                if k in sign:  # forcing delta, y-aligned to the source rows
+                if k in sign and not rowforce:
+                    # forcing delta, y-aligned to the source rows
                     p = p + sign[k] * wgt[kind[k]] * am_rows(r0t - cy, tile_w)
                 if cx == 1:
                     p = east(p)
@@ -809,7 +878,7 @@ def _kernel2_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref,
 @functools.lru_cache(maxsize=None)
 def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
                         interpret, dtype_name, paired=True, dev=None,
-                        tilew=None):
+                        tilew=None, lean=True, rowforce=False):
     dtype = jnp.dtype(dtype_name)
     nblk = rows // block
     T = depth
@@ -817,21 +886,48 @@ def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx, tilew)
+    spt = block // T
+    nstrip = rows // T
     kern = functools.partial(
-        _kernel2_sharded, block=block, depth=T, ny=ny_global, nx=nx,
-        tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
-        paired=paired, dev=dev,
+        _kernel2_sharded, block=block, depth=T, nblk=nblk, ny=ny_global,
+        nx=nx, tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega,
+        out_dtype=dtype, paired=paired, dev=dev, lean=lean,
+        rowforce=rowforce,
     )
+    if lean:
+        # Neighbor strips are views of the local cells array (the
+        # single-device index maps, local wrap — edge content is garbage
+        # and unread); the two shard-crossing strips arrive as small
+        # (9, T, nx) ppermuted arrays whose constant index map fetches
+        # them ONCE for the whole grid.
+        ns_specs = [
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, (i * spt - 1) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx),
+                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        halo_vmem = 4 * (9 * T * nx * dtype.itemsize)
+    else:
+        ns_specs = [
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        halo_vmem = 0
     return pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *ns_specs,
             pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -857,6 +953,7 @@ def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
                 2 * (9 * W * nx * 4)
                 + 4 * (9 * block * nx * dtype.itemsize)
                 + 15 * tile_w * nx * 4
+                + halo_vmem
                 + 20 * 1024 * 1024,
             ),
         ),
@@ -864,11 +961,20 @@ def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
     )
 
 
-def step_band2_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
+def step_band2_sharded(cells, halo_dn, halo_up, nob_ext_arr, r0,
                        density, accel, omega, block, depth, ny_global,
-                       *, interpret=False, paired=None, dev=None):
-    """Advance the local shard T timesteps (band2 body). Same contract as
-    pallas_band.step_band_sharded."""
+                       *, interpret=False, paired=None, dev=None,
+                       lean=True, rowforce=False):
+    """Advance the local shard T timesteps (band2 body).
+
+    With ``lean`` (the default; VERDICT r4 item 2), ``halo_dn``/
+    ``halo_up`` are the raw (9, T, nx) ppermuted shard halos — interior
+    neighbor strips are read straight from ``cells`` by BlockSpec index
+    maps, so nothing is materialized. With ``lean=False`` (the legacy
+    protocol, kept for the tax A/B) they are the (9, nblk*T, nx)
+    compact neighbor-strip arrays of pallas_band.step_band_sharded.
+    ``rowforce`` selects the 1-dynamic-row forcing form over the
+    per-step forcing field (see ``_kernel2_sharded``)."""
     _, rows, nx = cells.shape
     call = _make_call2_sharded(
         rows, nx, ny_global, block, depth,
@@ -878,9 +984,14 @@ def step_band2_sharded(cells, n_compact, s_compact, nob_ext_arr, r0,
         bool(interpret),
         cells.dtype.name,
         paired=paired_default() if paired is None else paired,
-        dev=dev, tilew=_tilew_env(),
+        dev=dev, tilew=_tilew_env(), lean=bool(lean),
+        rowforce=bool(rowforce),
     )
-    out, sums = call(cells, n_compact, s_compact, nob_ext_arr, r0)
+    if lean:
+        out, sums = call(cells, cells, cells, halo_dn, halo_up,
+                         nob_ext_arr, r0)
+    else:
+        out, sums = call(cells, halo_dn, halo_up, nob_ext_arr, r0)
     return out, jnp.sum(sums, axis=0)  # (T,) per-step local partials
 
 

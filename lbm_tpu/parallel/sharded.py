@@ -737,11 +737,32 @@ def make_sharded_pallas_step_overlap(interpret: bool = False,
     return step
 
 
+def _shard_lean_env() -> bool:
+    """LBM_SHARD_LEAN: "0" selects the legacy compact-neighbor-strip
+    protocol (two materialized (9, nblk*T, nx) arrays per pass); unset/
+    "1" the lean protocol (neighbor strips as BlockSpec views of cells,
+    only the two T-row shard halos ppermuted — VERDICT r4 item 2's tax
+    cut). band2 full-row only; read at factory time, outside any trace."""
+    import os
+
+    return os.environ.get("LBM_SHARD_LEAN", "1") != "0"
+
+
+def _shard_force_env() -> bool:
+    """LBM_SHARD_FORCE: "row" selects the 1-dynamic-row forcing form in
+    the sharded band2 kernel; unset/"field" the per-step forcing field
+    (the round-4 form). band2 full-row only; factory-time env read."""
+    import os
+
+    return os.environ.get("LBM_SHARD_FORCE", "field") == "row"
+
+
 def make_sharded_band_step(block: int, depth: int, ny_global: int,
                            interpret: bool = False,
                            paired: bool | None = None, dev=None,
                            panel: int | None = None, halo: int = 128,
-                           band2: bool = False):
+                           band2: bool = False, lean: bool | None = None,
+                           rowforce: bool | None = None):
     """Communication-avoiding per-shard step: T timesteps per call via the
     band kernel's sharded-local variant (ops/pallas_band.py
     ``step_band_sharded``) with ONE T-row ppermute pair per pass — T x
@@ -763,6 +784,9 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
 
     T = depth
     paired = paired_default() if paired is None else paired
+    lean = _shard_lean_env() if lean is None else lean
+    rowforce = _shard_force_env() if rowforce is None else rowforce
+    lean = lean and band2 and panel is None  # lean protocol: band2 full-row
 
     def step(cells, nob_ext_arr, density, accel, omega):
         n = jax.lax.axis_size(AXIS)
@@ -776,7 +800,7 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         # first T rows (same orientation as _exchange_boundary_slots).
         halo_dn = jax.lax.ppermute(cells[:, rows - T :], AXIS, fwd)
         halo_up = jax.lax.ppermute(cells[:, :T], AXIS, bwd)
-        if nblk > 1:
+        if nblk > 1 and not lean:
             # Strided strip selection via reshape + static slice, NOT a
             # jnp.take gather (XLA gathers are pathologically slow on TPU;
             # this runs once per T-step pass). Strip i*b-1 = block i-1's
@@ -789,6 +813,9 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
                 [strips5[:, 1:, 0], halo_up[:, None]], axis=1
             ).reshape(9, nblk * T, cells.shape[2])
         else:
+            # lean: the kernel reads interior strips from cells itself;
+            # only the two raw shard halos are passed (nblk == 1 legacy
+            # degenerates to the same thing).
             n_compact, s_compact = halo_dn, halo_up
         r0 = (idx * rows).astype(jnp.int32).reshape(1, 1)
         if band2 and panel is not None:
@@ -806,6 +833,7 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
                 cells, n_compact, s_compact, nob_ext_arr, r0,
                 density, accel, omega, block, T, ny_global,
                 interpret=interpret, paired=paired, dev=dev,
+                lean=lean, rowforce=rowforce,
             )
         elif panel is None:
             cells, sums = PBAND.step_band_sharded(

@@ -22,18 +22,21 @@ from lbm_tpu.ops.pallas_band2 import (
 )
 
 
-def run_shape(rows, nx, block, depth, ny_global):
+def run_shape(rows, nx, block, depth, ny_global, lean=True, rowforce=False):
     rng = np.random.RandomState(0)
     cells = jnp.asarray(
         0.1 + 0.01 * rng.rand(9, rows, nx).astype(np.float32)
     )
     T = depth
     nblk = rows // block
-    n_compact = jnp.asarray(
-        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    # lean protocol: raw (9, T, nx) shard halos; legacy: (9, nblk*T, nx)
+    # compact neighbor strips.
+    hrows = T if lean else nblk * T
+    halo_n = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, hrows, nx).astype(np.float32)
     )
-    s_compact = jnp.asarray(
-        0.1 + 0.01 * rng.rand(9, nblk * T, nx).astype(np.float32)
+    halo_s = jnp.asarray(
+        0.1 + 0.01 * rng.rand(9, hrows, nx).astype(np.float32)
     )
     nob = np.ones((rows, nx), np.float32)
     nob[3, :] = 0.0
@@ -46,22 +49,27 @@ def run_shape(rows, nx, block, depth, ny_global):
 
     t0 = time.perf_counter()
     out, sums = step_band2_sharded(
-        cells, n_compact, s_compact, nob_ext, r0,
+        cells, halo_n, halo_s, nob_ext, r0,
         0.1, 0.005, 1.85, block, T, ny_global, interpret=False,
+        lean=lean, rowforce=rowforce,
     )
     val = float(jnp.sum(sums))
     compile_and_run = time.perf_counter() - t0
 
     want, wsums = step_band2_sharded(
-        cells, n_compact, s_compact, nob_ext, r0,
+        cells, halo_n, halo_s, nob_ext, r0,
         0.1, 0.005, 1.85, block, T, ny_global, interpret=True,
+        lean=lean, rowforce=rowforce,
     )
     err = float(jnp.abs(out - want).max())
     serr = abs(val - float(jnp.sum(wsums)))
-    print(f"rows={rows} nx={nx} B={block} T={T}: ok, "
-          f"{compile_and_run:.1f}s, max|tpu-interp|={err:.3g}, "
-          f"sum diff={serr:.3g}", flush=True)
-    assert err < 1e-4 and serr < 1e-2
+    print(f"rows={rows} nx={nx} B={block} T={T} lean={lean} "
+          f"row={rowforce}: ok, {compile_and_run:.1f}s, "
+          f"max|tpu-interp|={err:.3g}, sum diff={serr:.3g} "
+          f"(sum={val:.6g})", flush=True)
+    # sums are O(grid) f32 accumulations — Mosaic's reduction tree
+    # reassociates vs interpret, so the check is relative.
+    assert err < 1e-4 and serr <= max(1e-2, 3e-6 * abs(val))
 
 
 def run_shape_panel(rows, nx, block, depth, panel, ny_global, halo=128):
@@ -120,7 +128,8 @@ def main():
     for rows, nx, b, t, nyg in ((512, 4096, 64, 16, 4096),
                                 (1024, 2048, 128, 16, 8192),
                                 (256, 2048, 64, 8, 2048)):
-        run_shape(rows, nx, b, t, nyg)
+        for lean, rowforce in ((True, False), (True, True), (False, False)):
+            run_shape(rows, nx, b, t, nyg, lean=lean, rowforce=rowforce)
     return 0
 
 

@@ -493,6 +493,32 @@ def test_sharded_band2_forcing_row_wrap(monkeypatch):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
+@pytest.mark.parametrize(
+    "lean,force",
+    [("1", "field"), ("1", "row"), ("0", "field"), ("0", "row")],
+)
+def test_sharded_band2_protocol_combos(monkeypatch, lean, force):
+    """The sharded band2 protocol knobs (LBM_SHARD_LEAN x LBM_SHARD_FORCE,
+    VERDICT r4 item 2's tax levers) all reproduce the single-device
+    reference, pinned here explicitly so coverage never depends on the
+    ambient env: 4 shards so the forcing row wraps into shard 0's top
+    halo (the rowforce form's pos-mod-ny case) and 2 blocks per shard
+    (the lean form's interior-view strips)."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_SHARD_LEAN", lean)
+    monkeypatch.setenv("LBM_SHARD_FORCE", force)
+    params, obstacles = _band_case(128, 128, 8)
+    single = run_simulation(params, obstacles, backend="reference")
+    sharded = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band2"
+    )
+    np.testing.assert_allclose(sharded.cells, single.cells, atol=3e-7)
+    np.testing.assert_allclose(
+        sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8
+    )
+
+
 def test_sharded_band2_panel_matches_reference(monkeypatch):
     """band2's x-split panel sharded variant (ref-resident body + dynamic
     forcing field on (W, P+2H) panel buffers): 256-wide grid in two
