@@ -41,12 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lbm_tpu.ops import band_common as BC
 from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_temporal import _sublane_tile, nobst_ext
 
-_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
-_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
-_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
+_CYS, _CXS, _OPP = BC.CYS, BC.CXS, BC.OPP
 
 
 def unroll_default() -> int:
@@ -266,8 +265,6 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     dtype = jnp.dtype(dtype_name)
     nblk = ny // block
     T = depth
-    spt = block // T
-    nstrip = ny // T
     tile = _sublane_tile(dtype)
     mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
@@ -275,42 +272,13 @@ def _make_call(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
         dev=dev, rowforce=rowforce, unroll=unroll,
     )
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, (i * spt - 1) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
-        ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            # 2 live W-row f32 buffer generations + double-buffered io.
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * (block + 2 * depth) * nx * 4)
-                + 4 * (9 * block * nx * dtype.itemsize)
-                + 16 * 1024 * 1024,
-            ),
-        ),
+        BC.fullrow_specs(ny, nx, block, T, mask_rows, dtype),
+        # 2 live W-row f32 buffer generations + double-buffered io.
+        vmem_limit=2 * (9 * (block + 2 * depth) * nx * 4)
+        + 4 * (9 * block * nx * dtype.itemsize)
+        + 16 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -570,10 +538,6 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     dtype = jnp.dtype(dtype_name)
     nblk, npan = ny // block, nx // panel
     T, H, P = depth, halo, panel
-    spt = block // T
-    nstrip = ny // T
-    sph = panel // H
-    nstripx = nx // H
     tile = _sublane_tile(dtype)
     mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
@@ -582,70 +546,13 @@ def _make_call_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
         dev=dev, rowforce=rowforce, unroll=unroll,
     )
 
-    def rs_top(i, j):   # row-strip above block i (wraps)
-        return (i * spt - 1) % nstrip
-
-    def rs_bot(i, j):
-        return ((i + 1) * spt) % nstrip
-
-    def cs_left(i, j):  # col-strip left of panel j (wraps)
-        return (j * sph - 1) % nstripx
-
-    def cs_right(i, j):
-        return ((j + 1) * sph) % nstripx
-
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk, npan),
-        in_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_top(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_bot(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, P + 2 * H), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
-        ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
-                + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
-                * dtype.itemsize
-                + 16 * 1024 * 1024,
-            ),
-        ),
+        BC.panel_specs(ny, nx, block, T, P, H, mask_rows, dtype),
+        vmem_limit=2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
+        + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
+        * dtype.itemsize
+        + 16 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -822,39 +729,12 @@ def _make_call_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
         dev=dev,
     )
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, rows, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
-        ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * (block + 2 * depth) * nx * 4)
-                + 4 * (9 * block * nx * dtype.itemsize)
-                + 16 * 1024 * 1024,
-            ),
-        ),
+        BC.fullrow_specs(rows, nx, block, T, mask_rows, dtype, wrap=False),
+        vmem_limit=2 * (9 * (block + 2 * depth) * nx * 4)
+        + 4 * (9 * block * nx * dtype.itemsize)
+        + 16 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -1042,11 +922,7 @@ def _make_call_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
                              w1a, w2a, omega, interpret, dtype_name,
                              paired=True, dev=None):
     dtype = jnp.dtype(dtype_name)
-    nblk = rows // block
-    npan = nx // panel
     T, H, P = depth, halo, panel
-    nstripx = nx // H
-    sph = panel // H
     tile = _sublane_tile(dtype)
     mask_rows = block + 2 * T + (-(block + 2 * T)) % tile
     kern = functools.partial(
@@ -1054,61 +930,14 @@ def _make_call_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
         ny=ny_global, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
         paired=paired, dev=dev,
     )
-
-    def cs_left(i, j):   # col-strip left of panel j (wraps inside the shard)
-        return (j * sph - 1) % nstripx
-
-    def cs_right(i, j):
-        return ((j + 1) * sph) % nstripx
-
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk, npan),
-        in_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, P + 2 * H), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, rows, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
-        ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
-                + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
-                * dtype.itemsize
-                + 16 * 1024 * 1024,
-            ),
-        ),
+        BC.panel_specs(rows, nx, block, T, P, H, mask_rows, dtype,
+                       wrap_rows=False),
+        vmem_limit=2 * (9 * (block + 2 * T) * (P + 2 * H) * 4)
+        + 2 * 9 * ((block + 2 * T) * (P + 2 * H) + block * P)
+        * dtype.itemsize
+        + 16 * 1024 * 1024,
         interpret=interpret,
     )
 

@@ -762,7 +762,8 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
                            paired: bool | None = None, dev=None,
                            panel: int | None = None, halo: int = 128,
                            band2: bool = False, lean: bool | None = None,
-                           rowforce: bool | None = None):
+                           rowforce: bool | None = None,
+                           probe_no_collectives: bool = False):
     """Communication-avoiding per-shard step: T timesteps per call via the
     band kernel's sharded-local variant (ops/pallas_band.py
     ``step_band_sharded``) with ONE T-row ppermute pair per pass — T x
@@ -798,8 +799,14 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
         bwd = [(j, (j - 1) % n) for j in range(n)]
         # halo_dn = previous shard's last T rows; halo_up = next shard's
         # first T rows (same orientation as _exchange_boundary_slots).
-        halo_dn = jax.lax.ppermute(cells[:, rows - T :], AXIS, fwd)
-        halo_up = jax.lax.ppermute(cells[:, :T], AXIS, bwd)
+        if probe_no_collectives:
+            # ATTRIBUTION PROBE ONLY (PHYSICS-CORRECT solely at mesh=1,
+            # where the self-ppermute is the identity): local slices in
+            # place of the collectives, to price the ppermute pair.
+            halo_dn, halo_up = cells[:, rows - T :], cells[:, :T]
+        else:
+            halo_dn = jax.lax.ppermute(cells[:, rows - T :], AXIS, fwd)
+            halo_up = jax.lax.ppermute(cells[:, :T], AXIS, bwd)
         if nblk > 1 and not lean:
             # Strided strip selection via reshape + static slice, NOT a
             # jnp.take gather (XLA gathers are pathologically slow on TPU;
@@ -847,6 +854,8 @@ def make_sharded_band_step(block: int, depth: int, ny_global: int,
                 density, accel, omega, block, T, panel, ny_global, halo,
                 interpret=interpret, paired=paired, dev=dev,
             )
+        if probe_no_collectives:
+            return cells, sums  # mesh=1: psum over one shard is identity
         return cells, jax.lax.psum(sums, AXIS)
 
     def prepare(obstacles, dtype):
