@@ -38,18 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lbm_tpu.ops import band_common as BC
 from lbm_tpu.ops.collision import av_fold, av_total, bgk_relax, paired_default
 from lbm_tpu.ops.pallas_band import band_supported, nobst_ext
 from lbm_tpu.ops.pallas_temporal import _sublane_tile
 
-_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
-_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
-_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
-
-# Forcing planes: (plane, sign, weight-kind); kind 1 -> w1a, 2 -> w2a
-# (kernels.cl:33-41).
-_FORCE = ((1, 1.0, 1), (3, -1.0, 1), (5, 1.0, 2),
-          (6, -1.0, 2), (7, -1.0, 2), (8, 1.0, 2))
+_CYS, _CXS, _OPP, _FORCE = BC.CYS, BC.CXS, BC.OPP, BC.FORCE
 
 
 def band2_supported(ny: int, nx: int, block: int, depth: int,
@@ -343,8 +337,6 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     nblk = ny // block
     T = depth
     W = block + 2 * T
-    spt = block // T
-    nstrip = ny // T
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx, tilew)
@@ -354,47 +346,18 @@ def _make_call2(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
         w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype, paired=paired,
         dev=dev, probe=probe, dirty=dirty,
     )
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, (i * spt - 1) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
-        ],
+        BC.fullrow_specs(ny, nx, block, T, mask_rows, dtype),
         scratch_shapes=[
             pltpu.VMEM((9, W, nx), jnp.float32),
             pltpu.VMEM((9, W, nx), jnp.float32),
         ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            # 2 scratch generations + double-buffered io + tile temporaries.
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * W * nx * 4)
-                + 4 * (9 * block * nx * dtype.itemsize)
-                + 15 * tile_w * nx * 4
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        # 2 scratch generations + double-buffered io + tile temporaries.
+        vmem_limit=2 * (9 * W * nx * 4)
+        + 4 * (9 * block * nx * dtype.itemsize)
+        + 15 * tile_w * nx * 4
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -559,10 +522,6 @@ def _make_call2_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     T, P, H = depth, panel, halo
     W = block + 2 * T
     WX = P + 2 * H
-    spt = block // T
-    nstrip = ny // T
-    sph = panel // H
-    nstripx = nx // H
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, WX, tilew)
@@ -572,74 +531,17 @@ def _make_call2_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
         paired=paired, dev=dev,
     )
 
-    def rs_top(i, j):
-        return (i * spt - 1) % nstrip
-
-    def rs_bot(i, j):
-        return ((i + 1) * spt) % nstrip
-
-    def cs_left(i, j):
-        return (j * sph - 1) % nstripx
-
-    def cs_right(i, j):
-        return ((j + 1) * sph) % nstripx
-
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk, npan),
-        in_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_top(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_bot(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, WX), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
-        ],
+        BC.panel_specs(ny, nx, block, T, P, H, mask_rows, dtype),
         scratch_shapes=[
             pltpu.VMEM((9, W, WX), jnp.float32),
             pltpu.VMEM((9, W, WX), jnp.float32),
         ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * W * WX * 4)
-                + 4 * (9 * block * P * dtype.itemsize)
-                + 15 * tile_w * WX * 4
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        vmem_limit=2 * (9 * W * WX * 4)
+        + 4 * (9 * block * P * dtype.itemsize)
+        + 15 * tile_w * WX * 4
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -886,77 +788,29 @@ def _make_call2_sharded(rows, nx, ny_global, block, depth, w1a, w2a, omega,
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx, tilew)
-    spt = block // T
-    nstrip = rows // T
     kern = functools.partial(
         _kernel2_sharded, block=block, depth=T, nblk=nblk, ny=ny_global,
         nx=nx, tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega,
         out_dtype=dtype, paired=paired, dev=dev, lean=lean,
         rowforce=rowforce,
     )
-    if lean:
-        # Neighbor strips are views of the local cells array (the
-        # single-device index maps, local wrap — edge content is garbage
-        # and unread); the two shard-crossing strips arrive as small
-        # (9, T, nx) ppermuted arrays whose constant index map fetches
-        # them ONCE for the whole grid.
-        ns_specs = [
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, (i * spt - 1) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        halo_vmem = 4 * (9 * T * nx * dtype.itemsize)
-    else:
-        ns_specs = [
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        halo_vmem = 0
-    return pl.pallas_call(
+    # lean: neighbor strips are views of the local cells array (the
+    # single-device index maps, local wrap — edge content is garbage and
+    # unread) + the two constant-map shard-halo inputs, fetched once.
+    halo_vmem = 4 * (9 * T * nx * dtype.itemsize) if lean else 0
+    return BC.creep_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            *ns_specs,
-            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, T), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, rows, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, T), jnp.float32),
-        ],
+        BC.fullrow_specs(rows, nx, block, T, mask_rows, dtype,
+                         wrap=lean, halo_inputs=lean),
         scratch_shapes=[
             pltpu.VMEM((9, W, nx), jnp.float32),
             pltpu.VMEM((9, W, nx), jnp.float32),
         ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * W * nx * 4)
-                + 4 * (9 * block * nx * dtype.itemsize)
-                + 15 * tile_w * nx * 4
-                + halo_vmem
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        vmem_limit=2 * (9 * W * nx * 4)
+        + 4 * (9 * block * nx * dtype.itemsize)
+        + 15 * tile_w * nx * 4
+        + halo_vmem
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -1147,8 +1001,6 @@ def _make_call2_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
     T, P, H = depth, panel, halo
     W = block + 2 * T
     WX = P + 2 * H
-    nstripx = nx // H
-    sph = panel // H
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, WX, tilew)
@@ -1158,64 +1010,18 @@ def _make_call2_sharded_panel(rows, nx, ny_global, block, depth, panel, halo,
         out_dtype=dtype, paired=paired, dev=dev,
     )
 
-    def cs_left(i, j):   # col-strip left of panel j (wraps inside the shard)
-        return (j * sph - 1) % nstripx
-
-    def cs_right(i, j):
-        return ((j + 1) * sph) % nstripx
-
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk, npan),
-        in_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, WX), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, T), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, rows, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, T), jnp.float32),
-        ],
+        BC.panel_specs(rows, nx, block, T, P, H, mask_rows, dtype,
+                       wrap_rows=False),
         scratch_shapes=[
             pltpu.VMEM((9, W, WX), jnp.float32),
             pltpu.VMEM((9, W, WX), jnp.float32),
         ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                2 * (9 * W * WX * 4)
-                + 4 * (9 * block * P * dtype.itemsize)
-                + 15 * tile_w * WX * 4
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        vmem_limit=2 * (9 * W * WX * 4)
+        + 4 * (9 * block * P * dtype.itemsize)
+        + 15 * tile_w * WX * 4
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 

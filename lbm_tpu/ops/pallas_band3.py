@@ -81,16 +81,11 @@ from lbm_tpu.ops.pallas_band import (
     nobst_ext,
     nobst_ext_panel,
 )
+from lbm_tpu.ops import band_common as BC
 from lbm_tpu.ops.pallas_band2 import _pick_tile_w
 from lbm_tpu.ops.pallas_temporal import _sublane_tile
 
-_CYS = (0, 0, 1, 0, -1, 1, 1, -1, -1)
-_CXS = (0, 1, 0, -1, 0, 1, -1, -1, 1)
-_OPP = (0, 3, 4, 1, 2, 7, 8, 5, 6)
-
-# Forcing planes and signs (kernels.cl:33-41); kind 1 -> w1a, 2 -> w2a.
-_FORCE = ((1, 1.0, 1), (3, -1.0, 1), (5, 1.0, 2),
-          (6, -1.0, 2), (7, -1.0, 2), (8, 1.0, 2))
+_CYS, _CXS, _OPP, _FORCE = BC.CYS, BC.CXS, BC.OPP, BC.FORCE
 
 
 def band3_supported(ny: int, nx: int, block: int, depth: int,
@@ -389,8 +384,6 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
     T = depth
     steps = T if steps is None else steps
     W = block + 2 * T
-    spt = block // T
-    nstrip = ny // T
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, nx)
@@ -399,49 +392,19 @@ def _make_call3(ny, nx, block, depth, w1a, w2a, omega, interpret, dtype_name,
         tile_w=tile_w, w1a=w1a, w2a=w2a, omega=omega, out_dtype=dtype,
         paired=paired, dev=dev, fuse=fuse, probe=probe,
     )
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, (i * spt - 1) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, nx),
-                         lambda i: (0, ((i + 1) * spt) % nstrip, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, steps), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, steps), jnp.float32),
-        ],
+        BC.fullrow_specs(ny, nx, block, T, mask_rows, dtype, steps=steps),
         scratch_shapes=(
             [pltpu.VMEM((W, nx), jnp.float32) for _ in range(9)]
             if probe == "perplane"
             else [pltpu.VMEM((9, W, nx), jnp.float32)]
         ),
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            # ONE scratch generation + double-buffered io + tile temporaries.
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                (9 * W * nx * 4)
-                + 4 * (9 * block * nx * dtype.itemsize)
-                + 15 * tile_w * nx * 4
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        # ONE scratch generation + double-buffered io + tile temporaries.
+        vmem_limit=(9 * W * nx * 4)
+        + 4 * (9 * block * nx * dtype.itemsize)
+        + 15 * tile_w * nx * 4
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 
@@ -526,10 +489,6 @@ def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
     steps = T if steps is None else steps
     W = block + 2 * T
     WX = P + 2 * H
-    spt = block // T
-    nstrip = ny // T
-    sph = panel // H
-    nstripx = nx // H
     tile = _sublane_tile(dtype)
     mask_rows = W + (-W) % tile
     tile_w = _pick_tile_w(W, WX)
@@ -539,73 +498,17 @@ def _make_call3_panel(ny, nx, block, depth, panel, halo, w1a, w2a, omega,
         out_dtype=dtype, paired=paired, dev=dev, fuse=fuse,
     )
 
-    def rs_top(i, j):
-        return (i * spt - 1) % nstrip
-
-    def rs_bot(i, j):
-        return ((i + 1) * spt) % nstrip
-
-    def cs_left(i, j):
-        return (j * sph - 1) % nstripx
-
-    def cs_right(i, j):
-        return ((j + 1) * sph) % nstripx
-
-    return pl.pallas_call(
+    return BC.creep_call(
         kern,
-        grid=(nblk, npan),
-        in_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_top(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, P), lambda i, j: (0, rs_bot(i, j), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, block, H), lambda i, j: (0, i, cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_top(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_left(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, H),
-                         lambda i, j: (0, rs_bot(i, j), cs_right(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mask_rows, WX), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, block, P), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, npan, steps), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((nblk, npan, steps), jnp.float32),
-        ],
+        BC.panel_specs(ny, nx, block, T, P, H, mask_rows, dtype,
+                       steps=steps),
         scratch_shapes=[
             pltpu.VMEM((9, W, WX), jnp.float32),
         ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                (9 * W * WX * 4)
-                + 4 * (9 * block * P * dtype.itemsize)
-                + 15 * tile_w * WX * 4
-                + 20 * 1024 * 1024,
-            ),
-        ),
+        vmem_limit=(9 * W * WX * 4)
+        + 4 * (9 * block * P * dtype.itemsize)
+        + 15 * tile_w * WX * 4
+        + 20 * 1024 * 1024,
         interpret=interpret,
     )
 

@@ -69,6 +69,37 @@ def make_bare_band2_step(block, depth, interpret=False):
     return step
 
 
+def make_nomap_loop(params, step_fn):
+    """build_sharded_loop's local_loop verbatim, WITHOUT the shard_map
+    wrapper (and without the mesh): isolates shard_map itself from the
+    loop scaffolding. Valid only single-device."""
+    import jax
+    import jax.numpy as jnp
+
+    n_iters = params.max_iters
+    density, accel, omega = (float(params.density), float(params.accel),
+                             float(params.omega))
+    spc = step_fn.steps_per_call
+
+    def local_loop(cells, obstacles, inv_tot_cells):
+        av_vels = jnp.zeros((n_iters,), dtype=jnp.float32)
+        obstacles_prep = step_fn.prepare(obstacles, cells.dtype)
+
+        def body(tt, carry):
+            state, av = carry
+            state, sums = step_fn(state, obstacles_prep, density, accel,
+                                  omega)
+            av = jax.lax.dynamic_update_slice(
+                av, (sums * inv_tot_cells).astype(jnp.float32), (tt * spc,))
+            return state, av
+
+        state, av_vels = jax.lax.fori_loop(
+            0, n_iters // spc, body, (cells, av_vels))
+        return state, av_vels
+
+    return jax.jit(local_loop, donate_argnums=(0,))
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r5_shardtax2.json"
     brackets = 3
@@ -122,7 +153,31 @@ def main():
             B, T, 2048, band2=True, lean=True, rowforce=False,
             probe_no_collectives=True)),
         "bare": dict(step_factory=lambda: make_bare_band2_step(B, T)),
+        "nomap": dict(nomap=True),
     }
+    if "--part3" in sys.argv:
+        variants = {
+            "bare": dict(step_factory=lambda: make_bare_band2_step(B, T)),
+            "nomap": dict(nomap=True),
+        }
+
+    def run_nomap():
+        import jax.numpy as jnp
+
+        from lbm_tpu.models.d2q9 import D2Q9
+        from lbm_tpu.runtime.driver import sync, upload_obstacles
+
+        cells = jax.device_put(D2Q9.initial_state(p2, dtype=jnp.float32))
+        obstacles_dev = jax.device_put(upload_obstacles(obs2))
+        inv = jnp.float32(1.0 / (obs2 == 0).sum())
+        compiled = (
+            make_nomap_loop(p2, make_bare_band2_step(B, T))
+            .lower(cells, obstacles_dev, inv).compile()
+        )
+        t0 = time.perf_counter()
+        out, av = compiled(cells, obstacles_dev, inv)
+        sync(av)
+        return time.perf_counter() - t0
 
     def run_custom(step_fn):
         """run_simulation_sharded's protocol for a custom step_fn."""
@@ -164,6 +219,8 @@ def main():
                     r = run_simulation_sharded(p2, obs2, n_devices=1,
                                                backend=spec["backend"])
                     secs = r.elapsed
+                elif spec.get("nomap"):
+                    secs = run_nomap()
                 else:
                     secs = run_custom(spec["step_factory"]())
                 rec(tag, secs)
