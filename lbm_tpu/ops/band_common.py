@@ -162,3 +162,40 @@ def creep_call(kern, specs, *, scratch_shapes=(), vmem_limit=None,
         ),
         interpret=interpret,
     )
+
+
+def run_creep(cells, nobst, density, accel, omega, n_iters, T, step_call,
+              *, interpret=False, paired=None, dev=None):
+    """The family's shared pass loop: ``n_iters // T`` fused passes via
+    ``step_call(cells) -> (cells, sums-tuple-of-T-scalars)`` inside one
+    ``fori_loop``, then the ``n_iters % T`` remainder on the single-step
+    block kernel (mirroring the reference's uniform per-step loop,
+    d2q9-bgk.c:179-199, at the schedule's pass granularity)."""
+    from lbm_tpu.ops import pallas_step as PS
+
+    npasses = n_iters // T
+    tot_u = jnp.zeros((n_iters,), jnp.float32)
+
+    def body(j, carry):
+        cells, tot_u = carry
+        cells, sums = step_call(cells)
+        tot_u = jax.lax.dynamic_update_slice(
+            tot_u, jnp.stack(sums), (T * j,)
+        )
+        return cells, tot_u
+
+    if npasses:
+        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
+    rem = n_iters % T
+    if rem:
+        step = (
+            PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
+        )
+        nob_plain = nobst.astype(cells.dtype)
+        carry = step.init_state(cells)
+        for r in range(rem):
+            carry, s = step(carry, nob_plain, density, accel, omega,
+                            paired=paired, dev=dev)
+            tot_u = tot_u.at[n_iters - rem + r].set(s)
+        cells = step.extract(carry)
+    return cells, tot_u

@@ -311,8 +311,6 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
     the single-step block kernel. Same contract as run_temporal/run_deep.
     ``panel`` (columns per x-panel) selects the panel variant for widths
     whose full-row configs exceed VMEM."""
-    from lbm_tpu.ops import pallas_step as PS
-
     _, ny, nx = cells.shape
     T = depth
     if panel is not None:
@@ -340,39 +338,24 @@ def run_band(cells, nobst, density, accel, omega, n_iters, block, depth,
     if unroll is None:
         unroll = unroll_default()
 
-    npasses = n_iters // T
-    tot_u = jnp.zeros((n_iters,), jnp.float32)
-
-    def body(j, carry):
-        cells, tot_u = carry
-        if panel is not None:
-            cells, sums = step_band_panel(
+    if panel is not None:
+        def step_call(cells):
+            return step_band_panel(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 panel, halo, interpret=interpret, paired=paired, dev=dev,
                 rowforce=rowforce, unroll=unroll,
             )
-        else:
-            cells, sums = step_band(
+    else:
+        def step_call(cells):
+            return step_band(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 interpret=interpret, paired=paired, dev=dev,
                 rowforce=rowforce, unroll=unroll,
             )
-        tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
-        return cells, tot_u
 
-    if npasses:
-        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
-    rem = n_iters % T
-    if rem:
-        step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
-        nob_plain = nobst.astype(cells.dtype)
-        carry = step.init_state(cells)
-        for r in range(rem):
-            carry, s = step(carry, nob_plain, density, accel, omega,
-                            paired=paired, dev=dev)
-            tot_u = tot_u.at[n_iters - rem + r].set(s)
-        cells = step.extract(carry)
-    return cells, tot_u
+    return BC.run_creep(cells, nobst, density, accel, omega, n_iters, T,
+                        step_call, interpret=interpret, paired=paired,
+                        dev=dev)
 
 
 # --- Panel variant: x-split for widths whose full-row band configs -----------

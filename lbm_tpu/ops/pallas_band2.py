@@ -1135,7 +1135,6 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
     selects the x-split variant. ``probe`` (full-row only) builds the
     attribution/lever kernel variants — probe scripts only. ``dirty``
     (full-row only) is the ``dirty_tiles`` clean-tile map."""
-    from lbm_tpu.ops import pallas_step as PS
     from lbm_tpu.ops.pallas_band import nobst_ext_panel
 
     _, ny, nx = cells.shape
@@ -1161,40 +1160,25 @@ def run_band2(cells, nobst, density, accel, omega, n_iters, block, depth,
     if paired is None:
         paired = paired_default()
 
-    npasses = n_iters // T
-    tot_u = jnp.zeros((n_iters,), jnp.float32)
-
     if probe and panel is not None:
         raise ValueError("band2 probe variants are full-row only")
     if dirty is not None and panel is not None:
         raise ValueError("band2 clean-tile specialization is full-row only")
 
-    def body(j, carry):
-        cells, tot_u = carry
-        if panel is not None:
-            cells, sums = step_band2_panel(
+    if panel is not None:
+        def step_call(cells):
+            return step_band2_panel(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 panel, halo, interpret=interpret, paired=paired, dev=dev,
             )
-        else:
-            cells, sums = step_band2(
+    else:
+        def step_call(cells):
+            return step_band2(
                 cells, nob_ext_arr, owner, density, accel, omega, block, T,
                 interpret=interpret, paired=paired, dev=dev, probe=probe,
                 dirty=dirty,
             )
-        tot_u = jax.lax.dynamic_update_slice(tot_u, jnp.stack(sums), (T * j,))
-        return cells, tot_u
 
-    if npasses:
-        cells, tot_u = jax.lax.fori_loop(0, npasses, body, (cells, tot_u))
-    rem = n_iters % T
-    if rem:
-        step = PS.lbm_step_pallas_interpret if interpret else PS.lbm_step_pallas
-        nob_plain = nobst.astype(cells.dtype)
-        carry = step.init_state(cells)
-        for r in range(rem):
-            carry, s = step(carry, nob_plain, density, accel, omega,
-                            paired=paired, dev=dev)
-            tot_u = tot_u.at[n_iters - rem + r].set(s)
-        cells = step.extract(carry)
-    return cells, tot_u
+    return BC.run_creep(cells, nobst, density, accel, omega, n_iters, T,
+                        step_call, interpret=interpret, paired=paired,
+                        dev=dev)
