@@ -106,6 +106,18 @@ def main():
         sync(av)
         return time.perf_counter() - t0
 
+    sharded_mode = "--sharded" in sys.argv
+    if sharded_mode:
+        from lbm_tpu.parallel.sharded import run_simulation_sharded
+        os.environ["LBM_SHARD_LEAN"] = "1"
+
+    def run_variant(n):
+        if sharded_mode:
+            r = run_simulation_sharded(params_for(n), obs2, n_devices=1,
+                                       backend="band2")
+            return r.elapsed
+        return run_bare(n)
+
     for b in range(brackets):
         for n in iters_list:
             try:
@@ -117,9 +129,10 @@ def main():
                 log(f"b{b} single_{n} FAILED: {type(e).__name__}: "
                     f"{str(e)[:200]}")
             try:
-                secs = run_bare(n)
+                secs = run_variant(n)
                 rec(f"bare_{n}", secs)
-                log(f"b{b} bare_{n}: {secs:.4f}s")
+                log(f"b{b} {'sharded' if sharded_mode else 'bare'}_{n}: "
+                    f"{secs:.4f}s")
             except Exception as e:
                 log(f"b{b} bare_{n} FAILED: {type(e).__name__}: "
                     f"{str(e)[:300]}")
