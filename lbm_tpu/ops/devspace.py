@@ -83,6 +83,20 @@ def decode_value(q, h: float):
     return r * jnp.abs(r) * h
 
 
+def plane_loader(dev):
+    """Per-plane VMEM->f32 loader for the Pallas kernels: identity for
+    raw f32/bf16 storage, companded decode + per-plane background for
+    c16 deviation storage (``dev`` = (*bg, h), the static companding
+    tuple every kernel threads through its lru cache)."""
+    if dev is None:
+        return lambda v, k: v.astype(jnp.float32)
+
+    def load(v, k):
+        return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+
+    return load
+
+
 def encode_plane(f, k: int, spec: DevSpec):
     """Full f32 plane k -> int16 companded deviations (works in-kernel)."""
     return encode_value(f - spec.bg[k], spec.h).astype(jnp.int16)

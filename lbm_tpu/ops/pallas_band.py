@@ -204,13 +204,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     sel_first = (rows_iota == T - 2).astype(jnp.float32)
     force = _make_force(w1a, w2a, rowforce)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     buf = tuple(
         jnp.concatenate(
@@ -426,13 +422,9 @@ def _kernel_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
     sel_first = (rows_iota == T - 2).astype(jnp.float32)
     force = _make_force(w1a, w2a, rowforce)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     def row(top, mid, bot, k):
         return jnp.concatenate(
@@ -627,13 +619,9 @@ def _kernel_sharded(c_ref, n_ref, s_ref, nobst_ref, r0_ref, out_ref, sums_ref,
             planes[8] + w2a * am,
         )
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     buf = tuple(
         jnp.concatenate(
@@ -837,13 +825,9 @@ def _kernel_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
             planes[8] + w2a * am,
         )
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     def row(top, mid, bot, k):
         return jnp.concatenate(

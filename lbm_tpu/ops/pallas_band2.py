@@ -129,13 +129,9 @@ def _kernel2(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
     gate_first = jnp.where(i == 0, 1.0, 0.0)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     for k in range(9):
         a_ref[k, :T] = load(top_ref[k], k)
@@ -408,13 +404,9 @@ def _kernel2_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
     gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
     gate_first = jnp.where(i == 0, 1.0, 0.0)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     for k in range(9):
         a_ref[k, :T] = jnp.concatenate(
@@ -641,13 +633,9 @@ def _kernel2_sharded(*refs, block: int, depth: int, nblk: int, ny: int,
         gl = jnp.remainder(rows_iota + (r0 + i * B - T), ny)
         sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     if lean:
         first = i == 0
@@ -885,13 +873,9 @@ def _kernel2_sharded_panel(c_ref, n_ref, s_ref, w_ref, e_ref,
     # selector forces the halo columns identically to the genuine panel.
     sel_nob = (gl == ny - 2).astype(jnp.float32) * nob_all
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     for k in range(9):
         a_ref[k, :T] = jnp.concatenate(

@@ -327,13 +327,9 @@ def _kernel3(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
     gate_first = jnp.where(i == 0, 1.0, 0.0)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     for k in range(9):
         s_ref[k, :T] = load(top_ref[k], k)
@@ -428,13 +424,9 @@ def _kernel3_panel(c_ref, n_ref, s_ref_in, w_ref, e_ref,
     gate_last = jnp.where(i == nblk - 1, 1.0, 0.0) * owner
     gate_first = jnp.where(i == 0, 1.0, 0.0)
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     for k in range(9):
         s_ref[k, :T] = jnp.concatenate(

@@ -111,13 +111,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
             planes[8] + w2a * am,
         )
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     # (B+2T)-row extended input, rows r0-T .. r0+B+T-1 — the halo strips are
     # VIEWS of the input state (blocks i-1's last T rows / i+1's first T).

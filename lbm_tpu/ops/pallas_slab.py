@@ -125,13 +125,9 @@ def _kernel_slab(c_ref, top_ref, bot_ref, nobst_ref, smask_ref, r0_ref,
             planes[8] + w2a * am,
         )
 
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     buf = tuple(
         jnp.concatenate(

@@ -195,13 +195,9 @@ def _kernel(*refs, block: int, nblk: int, w1a: float, w2a: float, omega: float,
         jnp.where(i == nblk - 1, 1.0, 0.0).astype(jnp.float32) * owner_ref[0, 0]
     )
     nobst = nobst_ref[...].astype(jnp.float32)
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     m = [load(cells_ref[k], k) for k in range(9)]
     if dev is None:

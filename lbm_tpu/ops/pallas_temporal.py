@@ -144,13 +144,9 @@ def _kernel(cells_ref, top_ref, bot_ref, nobst_ref, owner_ref,
     # top_ref = neighbor (i-1)'s LAST-T input rows; bot_ref = (i+1)'s FIRST-T.
     # c16 storage (``dev`` = (bg0..bg8, h), ops/devspace.py) decodes here and
     # re-encodes at the stores; all T fused steps run on full f32 values.
-    if dev is None:
-        load = lambda v, k: v.astype(jnp.float32)  # noqa: E731
-    else:
-        from lbm_tpu.ops.devspace import decode_value
+    from lbm_tpu.ops.devspace import plane_loader
 
-        def load(v, k):
-            return decode_value(v.astype(jnp.float32), dev[9]) + dev[k]
+    load = plane_loader(dev)
 
     buf = tuple(
         jnp.concatenate(
