@@ -97,9 +97,13 @@ def paired_default():
 # extension session confirmed the whole upper AA regime: 1280² +4.2%
 # (24,266 vs 23,298), 1408² +4.5% (25,130 vs 24,050 — and the mxu body
 # compiles at the near-cliff clamped tile). c16 AA ≥1280-wide is
-# relay-compile-blocked (select_aa), so no c16 entries are probeable on
-# this mount. (Validated-sizes invariant: every entry ran on silicon.)
+# relay-compile-blocked (select_aa), so 1024² is the only probeable c16
+# entry on this mount — probed round 5 (bench_r5_c16probe.json): the
+# embedded dot COMPILES under int16 storage and wins +4.8% (9,604 vs
+# 9,166 MLUPS), so c16 joins the route at that shape.
+# (Validated-sizes invariant: every entry ran on silicon.)
 _AV_MXU_AA_SHAPES = {(1024, 1024), (1280, 1280), (1408, 1408)}
+_AV_MXU_AA_SHAPES_C16 = {(1024, 1024)}
 
 
 def av_route(paired, ny, nx, storage="float32"):
@@ -109,15 +113,16 @@ def av_route(paired, ny, nx, storage="float32"):
     a pinned form always wins. Callers: the driver's AA dispatch only —
     the band/temporal/deep kernels measured no robust win.
 
-    ``storage`` is the AA kernel's STORAGE dtype name: only f32-storage
-    kernels were compile-probed with the embedded dot_general — 16-bit
-    AA builds are already compile-fragile on the relay (CLAUDE.md width
-    failures), so bf16/c16 storage keeps the tree form until probed."""
-    if (
-        paired == "fused"
-        and storage == "float32"
-        and (ny, nx) in _AV_MXU_AA_SHAPES
-    ):
+    ``storage`` is the AA kernel's STORAGE dtype name: f32 entries per
+    the table above; c16 (int16 deviation storage) probed round 5 at its
+    one relay-compilable shape and routed on the measured win
+    (bench_r5_c16probe.json); bf16 storage keeps the tree form until
+    probed (the bf16 AA builds barely compile on this relay at all)."""
+    if paired != "fused":
+        return paired
+    if storage == "float32" and (ny, nx) in _AV_MXU_AA_SHAPES:
+        return "fused-mxuav"
+    if storage == "int16" and (ny, nx) in _AV_MXU_AA_SHAPES_C16:
         return "fused-mxuav"
     return paired
 

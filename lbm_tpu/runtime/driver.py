@@ -1381,11 +1381,10 @@ def _run_simulation_impl(
                 else jnp.float32
             )
             # MXU av-reduction on the measured-win AA shapes (+4.9% at
-            # 1024²), f32 storage only (16-bit AA builds are
-            # compile-fragile on the relay and were never probed with the
-            # embedded dot); the fused tile clamp keys on the PREFIX —
-            # every fused-* suffix shares the fused form's live-plane
-            # count.
+            # 1024² f32, +4.8% at 1024² c16 — bench_r5_c16probe.json;
+            # bf16 storage keeps the tree until probed); the fused tile
+            # clamp keys on the PREFIX — every fused-* suffix shares the
+            # fused form's live-plane count.
             aa_paired = av_route(
                 paired, params.ny, params.nx, jnp.dtype(a_dtype).name
             )

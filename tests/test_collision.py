@@ -267,11 +267,14 @@ def test_av_fold_vec_spill_path_ragged_rows():
     assert abs(got_tree - want) / want < 1e-5
 
 
-def test_av_route_is_f32_storage_only():
-    """16-bit AA builds are compile-fragile on the relay and were never
-    probed with the embedded dot — the MXU upgrade must not reach them."""
+def test_av_route_storage_gates():
+    """bf16 AA builds were never probed with the embedded dot — the MXU
+    upgrade must not reach them. c16 (int16) was probed round 5 at its
+    one relay-compilable shape and won +4.8% (bench_r5_c16probe.json):
+    routed at 1024² only."""
     from lbm_tpu.ops.collision import av_route
 
     assert av_route("fused", 1024, 1024, "bfloat16") == "fused"
-    assert av_route("fused", 1024, 1024, "int16") == "fused"
+    assert av_route("fused", 1024, 1024, "int16") == "fused-mxuav"
+    assert av_route("fused", 1280, 1280, "int16") == "fused"
     assert av_route("fused", 1024, 1024, "float32") == "fused-mxuav"
