@@ -552,6 +552,26 @@ def test_sharded_band2_panel_forcing_row_wrap(monkeypatch):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=5e-5, atol=3e-8)
 
 
+def test_sharded_band2_fullrow_c16_lean(monkeypatch):
+    """c16 companded storage through the FULL-ROW sharded band2 step
+    under the lean protocol (the round-5 default): the shard halos and
+    the interior BlockSpec-view strips are int16 codes decoded per-plane
+    in-kernel — tracks the f32 run at the storage resolution."""
+    monkeypatch.setenv("LBM_BAND_BLOCK", "16")
+    monkeypatch.setenv("LBM_BAND_DEPTH", "8")
+    monkeypatch.setenv("LBM_SHARD_LEAN", "1")
+    params, obstacles = _band_case(128, 128, 16)
+    f32 = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band2"
+    )
+    c16 = run_simulation_sharded(
+        params, obstacles, n_devices=4, backend="band2", dtype="c16"
+    )
+    assert c16.cells.dtype == np.float32
+    np.testing.assert_allclose(c16.cells, f32.cells, atol=1e-5)
+    np.testing.assert_allclose(c16.av_vels, f32.av_vels, rtol=2e-3, atol=1e-9)
+
+
 def test_sharded_band2_panel_c16(monkeypatch):
     """c16 companded storage through the sharded panel band2 step tracks
     the f32 run at the storage format's resolution."""
