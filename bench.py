@@ -2,8 +2,9 @@
 """Benchmark: single-chip throughput on the reference's largest config.
 
 Runs the 1024x1024 lattice (input_1024x1024.params geometry) with the fused
-Pallas kernel on the first available device, times a 6000-iteration jitted
-loop after AOT compile + warmup, and prints ONE JSON line:
+Pallas kernel on the first available device, times the official
+20000-iteration jitted loop after AOT compile + warmup, and prints ONE
+JSON line:
 
     {"metric": "mlups_1024x1024", "value": ..., "unit": "MLUPS", "vs_baseline": ...}
 
@@ -38,11 +39,15 @@ def main() -> int:
     params = read_params("/root/reference/input_1024x1024.params")
     obstacles = read_obstacles("/root/reference/obstacles_1024x1024.dat", params)
 
-    # 6000 iters (~0.3 s loop at the resident kernel's rate): long enough
-    # that the relay's fixed per-run sync overhead (~10-30 ms) is noise --
-    # 2000-iter runs under-reported by ~30% (13.8k vs the same kernel's
-    # 20-21k in 6000-iter sessions, bench_r2_tpu5/8.json).
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    # Default = the config's own official 20000 iters. Short loops are
+    # floored by the fixed per-run sync cost (~25-60 ms RPC,
+    # bench_r3_synccost/fixedcost.json): 2000-iter runs under-reported by
+    # ~30% (bench_r2_tpu5/8.json) and the round-4 6000-iter default
+    # (~0.3 s loop) still gave up ~8% vs the official 20k-iter record
+    # (24,214 in BENCH_r04.json vs 26,715 in the same round's official
+    # sessions, BENCHMARKS.md headline). At 20k the loop is ~0.8 s and the
+    # fixed cost is noise -- and the timed run IS the official config.
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     p = dataclasses.replace(params, max_iters=iters)
 
     platform = jax.devices()[0].platform
