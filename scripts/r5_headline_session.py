@@ -55,13 +55,16 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
+    dtype = "c16" if "--c16" in sys.argv else "float32"
+
     def row(tag, params, obstacles, ref_av=None, backend="auto"):
         try:
             t0 = time.time()
-            run_simulation(params, obstacles, backend=backend,
+            run_simulation(params, obstacles, backend=backend, dtype=dtype,
                            fetch_final=False)  # warm (absorbs compile)
             passes = [run_simulation(params, obstacles, backend=backend,
-                                     fetch_final=False) for _ in range(3)]
+                                     dtype=dtype, fetch_final=False)
+                      for _ in range(3)]
             res = min(passes, key=lambda r: r.elapsed)
             rec = {"loop_s": round(res.elapsed, 4),
                    "passes_s": [round(r.elapsed, 4) for r in passes],
