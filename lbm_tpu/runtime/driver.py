@@ -267,7 +267,20 @@ def _probe_compile_subprocess(
         "start_step": start_step,
         "checkpoint_every": checkpoint_every,
         "chunk_every": chunk_every,
-        "platform": jax.devices()[0].platform,
+        # The parent's jax_platforms CONFIG value, not the device's
+        # ``.platform`` attribute: a plugin backend can register under a
+        # different platform name than its devices report (the axon
+        # relay registers "axon" but its devices say "tpu"), and pinning
+        # the device name in the child selects the WRONG plugin — on the
+        # relay, the native libtpu, which dies with "No jellyfish
+        # device found" and turns every probe verdict into an
+        # environment error instead of a compile verdict (the round-5
+        # c16probe cache regression vs round 4's genuine in-process
+        # verdicts). The config value is exactly what a sitecustomize or
+        # conftest pinned for this process — the thing the child must
+        # reproduce. None/empty -> the child inherits the env's own
+        # JAX_PLATFORMS / default resolution untouched.
+        "platform": jax.config.jax_platforms or None,
     }
     cmd = [_sys.executable, "-m", "lbm_tpu.runtime.probe_worker",
            json.dumps(spec)]
@@ -1649,9 +1662,16 @@ def run_simulation(
             )
             if verdict != "ok":
                 # Transient infrastructure errors (backend down
-                # mid-compile) are NOT cached as permanent toolchain
-                # verdicts — only this run falls back; the next re-probes.
-                transient = "UNAVAILABLE" in err
+                # mid-compile, or the CHILD failing to initialize a
+                # backend at all — an environment problem, not a
+                # toolchain verdict) are NOT cached as permanent
+                # toolchain verdicts — only this run falls back; the
+                # next re-probes.
+                transient = (
+                    "UNAVAILABLE" in err
+                    or "Unable to initialize backend" in err
+                    or "No jellyfish device" in err
+                )
                 if not transient:
                     _probe_cache_record(key, verdict, err)
                 print(

@@ -450,6 +450,26 @@ def test_probe_isolated_transient_not_cached(probe_iso_env, monkeypatch):
     assert not probe_iso_env.exists()
 
 
+def test_probe_isolated_child_init_failure_not_cached(probe_iso_env,
+                                                      monkeypatch):
+    """A probe child that cannot initialize a backend at all reports an
+    ENVIRONMENT failure, not a toolchain verdict — it must fall back for
+    this run only, never be cached (the round-5 regression cached these
+    as permanent "fail" verdicts)."""
+    params, obstacles = _tiny_setup()
+    monkeypatch.setattr(
+        driver, "_probe_compile_subprocess",
+        lambda *a, **k: (
+            "fail",
+            "RuntimeError: Unable to initialize backend 'tpu': UNKNOWN: "
+            "TPU initialization failed: No jellyfish device found.",
+        ),
+    )
+    r = driver.run_simulation(params, obstacles, backend="reference")
+    assert r.av_vels.shape == (3,)
+    assert not probe_iso_env.exists()
+
+
 def test_probe_isolated_ok_skips_reprobe(probe_iso_env, monkeypatch):
     """After an ``"ok"`` verdict, later runs compile the standard route
     directly — no probe subprocess, no probe seam."""
@@ -471,6 +491,48 @@ def test_probe_isolated_ok_skips_reprobe(probe_iso_env, monkeypatch):
     assert entry["status"] == "ok"
     driver.run_simulation(params, obstacles, backend="reference")
     assert calls["probes"] == 1  # cached ok -> no re-probe
+
+
+def test_probe_spec_platform_is_config_not_device(monkeypatch):
+    """The probe child must reproduce the parent's ``jax_platforms``
+    CONFIG pin, never the device's ``.platform`` attribute: plugin
+    backends can register under a different platform name than their
+    devices report (the axon relay registers "axon"; its devices say
+    "tpu"), and pinning the device name selects the wrong plugin in the
+    child — every verdict then records a backend-init error, not a
+    compile verdict (round-5 c16probe cache regression)."""
+    import json as _json
+
+    import jax
+
+    captured = {}
+
+    class _Proc:
+        returncode = 0
+        stdout = "PROBE_COMPILE_OK"
+        stderr = ""
+
+    def fake_run(cmd, **kw):
+        captured["spec"] = _json.loads(cmd[-1])
+        return _Proc()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    # If the implementation regresses to jax.devices()[0].platform this
+    # trips loudly instead of silently passing on CPU (where the device
+    # attribute and the config value coincide).
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("probe spec must not consult jax.devices()")
+        ),
+    )
+    verdict, err = driver._probe_compile_subprocess(
+        p(64, 128), "reference", jnp.float32
+    )
+    assert verdict == "ok"
+    assert captured["spec"]["platform"] == jax.config.jax_platforms
 
 
 def test_probe_worker_real_subprocess(probe_iso_env):
