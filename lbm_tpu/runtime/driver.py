@@ -1672,6 +1672,29 @@ def run_simulation(
                     or "Unable to initialize backend" in err
                     or "No jellyfish device" in err
                 )
+                if verdict == "hang" and not transient:
+                    # A hang is ambiguous: the toolchain (documented
+                    # >30-min Mosaic compile hangs) or the ENVIRONMENT
+                    # (backend down — jax.devices() hangs >10 min when
+                    # the relay dies — or the child queueing behind
+                    # another process's device lease). Disambiguate
+                    # with a canary: probe-compile a tiny known-good
+                    # surface in a second child. Canary ok -> the
+                    # environment is alive, the hang is a toolchain
+                    # verdict (cache it). Canary not ok -> environment
+                    # trouble; treat the hang as transient so the
+                    # shape is re-probed once the environment
+                    # recovers. Worst case this doubles the hang
+                    # path's wall cost (2x LBM_PROBE_TIMEOUT) — paid
+                    # at most once per cached combination.
+                    canary = LBMParams(
+                        nx=128, ny=64, max_iters=2, reynolds_dim=10,
+                        density=0.1, accel=0.005, omega=1.85,
+                    )
+                    cv, _cerr = _probe_compile_subprocess(
+                        canary, "reference", jnp.float32
+                    )
+                    transient = cv != "ok"
                 if not transient:
                     _probe_cache_record(key, verdict, err)
                 print(

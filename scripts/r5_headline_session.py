@@ -15,7 +15,6 @@ short runs are floored by the ~25-60 ms fixed cost).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import sys
@@ -33,7 +32,8 @@ def log(m):
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r5_headline2.json"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = positional[0] if positional else "bench_r5_headline2.json"
 
     import jax
 

@@ -31,7 +31,8 @@ def log(m):
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_r5_probefix.json"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = positional[0] if positional else "bench_r5_probefix.json"
     cache_path = os.path.abspath(out_path) + ".probecache.json"
     if os.path.exists(cache_path):
         os.remove(cache_path)
@@ -91,7 +92,7 @@ def main():
     try:
         with open(cache_path) as f:
             results["sections"]["probe_cache"] = json.load(f)
-    except OSError:
+    except (OSError, ValueError):  # absent, or a merge-race left bad JSON
         results["sections"]["probe_cache"] = "absent"
     dump()
     log("done")

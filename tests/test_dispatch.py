@@ -393,33 +393,57 @@ def test_probe_compile_success_records_ok(probe_env):
 
 def test_probe_isolated_hang_cached_distinctly(probe_iso_env, monkeypatch):
     """A HUNG probe compile (child killed on wall timeout) is cached as
-    its own ``"hang"`` verdict, the run falls back to the relay route in
-    the SAME process cleanly, and later runs skip the probe entirely —
-    the scenario the in-process SIGALRM guard could not survive (an
-    alarm mid-compile poisons the session the fallback then runs on)."""
+    its own ``"hang"`` verdict — after a CANARY child confirms the
+    environment itself still compiles (hang = toolchain, not a dead
+    backend) — the run falls back to the relay route in the SAME
+    process cleanly, and later runs skip the probe entirely — the
+    scenario the in-process SIGALRM guard could not survive (an alarm
+    mid-compile poisons the session the fallback then runs on)."""
     import json
 
     import numpy as np
 
     params, obstacles = _tiny_setup()
-    calls = {"probes": 0}
+    calls = {"probes": 0, "canaries": 0}
 
-    def fake_probe(params, backend, dtype, **kw):
+    def fake_probe(pp, backend, dtype, **kw):
+        if pp.max_iters == 2:  # the canary's tiny surface
+            calls["canaries"] += 1
+            return "ok", ""
         calls["probes"] += 1
         return "hang", "probe compile exceeded 900s (child killed)"
 
     monkeypatch.setattr(driver, "_probe_compile_subprocess", fake_probe)
     r1 = driver.run_simulation(params, obstacles, backend="reference")
     assert r1.av_vels.shape == (3,)
-    assert calls["probes"] == 1
+    assert calls == {"probes": 1, "canaries": 1}
     cache = json.loads(probe_iso_env.read_text())
     (key, entry), = cache.items()
     assert entry["status"] == "hang"
     assert "child killed" in entry["error"]
     # run 2: known-hang -> straight to relay, no second probe subprocess
     r2 = driver.run_simulation(params, obstacles, backend="reference")
-    assert calls["probes"] == 1
+    assert calls == {"probes": 1, "canaries": 1}
     np.testing.assert_allclose(r2.av_vels, r1.av_vels, rtol=0, atol=0)
+
+
+def test_probe_isolated_hang_with_dead_environment_not_cached(
+        probe_iso_env, monkeypatch):
+    """A hang whose CANARY also fails is environment trouble (relay
+    down, lease queueing), not a toolchain verdict — fall back for this
+    run only and leave nothing cached, so the shape is re-probed once
+    the environment recovers."""
+    params, obstacles = _tiny_setup()
+
+    def fake_probe(pp, backend, dtype, **kw):
+        if pp.max_iters == 2:
+            return "hang", "probe compile exceeded 900s (child killed)"
+        return "hang", "probe compile exceeded 900s (child killed)"
+
+    monkeypatch.setattr(driver, "_probe_compile_subprocess", fake_probe)
+    r = driver.run_simulation(params, obstacles, backend="reference")
+    assert r.av_vels.shape == (3,)
+    assert not probe_iso_env.exists()
 
 
 def test_probe_isolated_fail_falls_back_and_caches(probe_iso_env, monkeypatch):
