@@ -84,8 +84,17 @@ def main():
 
     from lbm_tpu.models.d2q9 import LBMParams
 
+    sizes_arg = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--sizes=")), None)
     big = "--big" in sys.argv
-    if not big:
+    if sizes_arg:
+        # e.g. --sizes=2048:8192,3072:4096 -> [(2048, 8192), (3072, 4096)]
+        pw = LBMParams(nx=1024, ny=1024, max_iters=1024, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+        row("warm_1024", pw, walls(1024, 1024), backend="aa")
+        sizes = tuple(tuple(int(x) for x in s.split(":"))
+                      for s in sizes_arg.split(","))
+    elif not big:
         # Official configs (gold-gated; 128x128 first = warm absorber).
         for cfg in ("128x128", "128x256", "256x256"):
             params = read_params(f"{REF}/input_{cfg}.params")
