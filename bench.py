@@ -57,7 +57,23 @@ def main() -> int:
     # execution of a new program shape pays it), then best-of-3 timed runs
     # (the shared-TPU environment shows multi-x throttling noise; the best
     # pass reflects the kernel, not the neighbors).
-    run_simulation(p, obstacles, backend=backend)
+    warm = run_simulation(p, obstacles, backend=backend)
+    if (
+        platform == "tpu"
+        and warm.mlups(p) < _RETRY_FLOOR_MLUPS
+        and not os.environ.get("LBM_BENCH_RETRY")
+    ):
+        # Throttle detected at the WARMUP already (windows can run
+        # 100-15,000x slow — CLAUDE.md): don't pay three throttled
+        # timed passes first; re-exec into a fresh relay session now.
+        print(
+            f"# throttled session (warmup {warm.mlups(p):.0f} MLUPS < "
+            f"{_RETRY_FLOOR_MLUPS:.0f} floor): re-exec once in a fresh "
+            "process",
+            file=sys.stderr, flush=True,
+        )
+        os.environ["LBM_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     passes = [run_simulation(p, obstacles, backend=backend) for _ in range(3)]
     result = min(passes, key=lambda r: r.elapsed)
